@@ -1,0 +1,518 @@
+// tdax_rips.cc — native Vietoris–Rips persistent (co)homology engine.
+//
+// From-scratch implementation of the ripser-class algorithm family
+// (persistent cohomology + clearing + emergent-pair shortcut), built as
+// the TPU framework's counterpart of the reference's ripser C++
+// dependency (SURVEY §2.2, §2.3): the TPU computes the distance matrix
+// (tdax.ops.distances); this engine does the irregular combinatorial
+// reduction the MXU can't express.
+//
+// Algorithm outline:
+//   dim 0:  union-find over edges sorted ascending by (diameter, index);
+//           non-merging edges become the dim-1 columns (clearing).
+//   dim p:  p-simplex columns processed in decreasing (diameter, index);
+//           pivot = minimal-(diameter, index) (p+1)-cofacet; emergent
+//           shortcut claims an equal-diameter unowned pivot during the
+//           first enumeration pass; otherwise full heap reduction with
+//           V-column re-expansion.  Pivots clear dimension p+1.
+//   thresh=inf uses the enclosing radius min_i max_j d(i,j).
+//
+// Z/2 coefficients.  Pairs with death <= birth are not emitted
+// (ripser's ratio=1 behavior); essential classes emit death = -1.
+//
+// C API (ctypes): tdax_rips_dense(dist, n, maxdim, thresh, &out, &len)
+// writes malloc'd records (dim, birth, death)*; tdax_free releases.
+
+#include <algorithm>
+#include <cmath>
+#include <functional>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <limits>
+#include <queue>
+#include <vector>
+
+namespace {
+
+using index_t = int64_t;
+using value_t = double;
+
+constexpr value_t kInf = std::numeric_limits<value_t>::infinity();
+
+struct DiamIdx {
+  value_t diam;
+  index_t idx;
+};
+
+inline bool ascending(const DiamIdx& a, const DiamIdx& b) {
+  return a.diam < b.diam || (a.diam == b.diam && a.idx < b.idx);
+}
+
+struct HeapGreater {  // min-heap on (diam, idx)
+  bool operator()(const DiamIdx& a, const DiamIdx& b) const {
+    return ascending(b, a);
+  }
+};
+
+// --- binomial table ---------------------------------------------------------
+
+class Binomial {
+ public:
+  Binomial(index_t n, index_t k) : n_(n + 1), k_(k + 1), tab_(n_ * k_, 0) {
+    for (index_t i = 0; i < n_; ++i) {
+      tab_[i * k_] = 1;
+      for (index_t j = 1; j < std::min(i + 1, k_); ++j)
+        tab_[i * k_ + j] = tab_[(i - 1) * k_ + j - 1] + tab_[(i - 1) * k_ + j];
+    }
+  }
+  inline index_t operator()(index_t i, index_t j) const {
+    if (j < 0 || j >= k_ || i < j) return (j == 0) ? 1 : 0;
+    return tab_[i * k_ + j];
+  }
+
+ private:
+  index_t n_, k_;
+  std::vector<index_t> tab_;
+};
+
+// --- flat open-addressing pivot map (idx -> column id) -----------------------
+
+class PivotMap {
+ public:
+  explicit PivotMap(size_t expected) {
+    size_t cap = 64;
+    while (cap < expected * 2) cap <<= 1;
+    mask_ = cap - 1;
+    keys_.assign(cap, kEmpty);
+    vals_.resize(cap);
+  }
+  // returns column id or -1
+  inline int64_t find(index_t key) const {
+    size_t h = hash(key);
+    while (true) {
+      index_t k = keys_[h];
+      if (k == kEmpty) return -1;
+      if (k == key) return vals_[h];
+      h = (h + 1) & mask_;
+    }
+  }
+  inline void insert(index_t key, int64_t val) {
+    if ((size_ + 1) * 3 > (mask_ + 1) * 2) grow();
+    size_t h = hash(key);
+    while (keys_[h] != kEmpty) {
+      if (keys_[h] == key) { vals_[h] = val; return; }
+      h = (h + 1) & mask_;
+    }
+    keys_[h] = key;
+    vals_[h] = val;
+    ++size_;
+  }
+  template <typename F>
+  void for_each(F&& f) const {
+    for (size_t i = 0; i <= mask_; ++i)
+      if (keys_[i] != kEmpty) f(keys_[i], vals_[i]);
+  }
+  size_t size() const { return size_; }
+
+ private:
+  static constexpr index_t kEmpty = -1;
+  inline size_t hash(index_t key) const {
+    uint64_t x = static_cast<uint64_t>(key);
+    x ^= x >> 33; x *= 0xff51afd7ed558ccdULL; x ^= x >> 33;
+    return static_cast<size_t>(x) & mask_;
+  }
+  void grow() {
+    size_t cap = (mask_ + 1) << 1;
+    std::vector<index_t> nk(cap, kEmpty);
+    std::vector<int64_t> nv(cap);
+    size_t om = mask_;
+    mask_ = cap - 1;
+    for (size_t i = 0; i <= om; ++i) {
+      if (keys_[i] == kEmpty) continue;
+      size_t h = hash(keys_[i]);
+      while (nk[h] != kEmpty) h = (h + 1) & mask_;
+      nk[h] = keys_[i];
+      nv[h] = vals_[i];
+    }
+    keys_.swap(nk);
+    vals_.swap(nv);
+  }
+  size_t mask_, size_ = 0;
+  std::vector<index_t> keys_;
+  std::vector<int64_t> vals_;
+};
+
+// --- adjacency bitsets --------------------------------------------------------
+
+class Adjacency {
+ public:
+  Adjacency(const value_t* dist, index_t n, value_t thresh)
+      : n_(n), words_(static_cast<size_t>((n + 63) / 64)), bits_(words_ * n, 0) {
+    for (index_t i = 0; i < n; ++i)
+      for (index_t j = 0; j < n; ++j)
+        if (i != j && dist[i * n + j] <= thresh)
+          bits_[i * words_ + (j >> 6)] |= (1ULL << (j & 63));
+  }
+  const uint64_t* row(index_t v) const { return bits_.data() + v * words_; }
+  size_t words() const { return words_; }
+
+ private:
+  index_t n_;
+  size_t words_;
+  std::vector<uint64_t> bits_;
+};
+
+// --- engine ----------------------------------------------------------------
+
+struct Bar {
+  int32_t dim;
+  value_t birth, death;  // death = -1 encodes +inf
+};
+
+class RipsEngine {
+ public:
+  RipsEngine(const value_t* dist, index_t n, int maxdim, value_t thresh)
+      : dist_(dist), n_(n), maxdim_(maxdim),
+        binom_(std::max<index_t>(n, 2), maxdim + 3) {
+    if (std::isinf(thresh)) {
+      essential_allowed_ = false;
+      thresh_ = enclosing_radius();
+    } else {
+      essential_allowed_ = true;
+      thresh_ = thresh;
+    }
+    adj_ = new Adjacency(dist_, n_, thresh_);
+  }
+  ~RipsEngine() { delete adj_; }
+
+  std::vector<Bar> run() {
+    std::vector<Bar> bars;
+    std::vector<DiamIdx> columns = dim0(bars);
+    for (int p = 1; p <= maxdim_; ++p) {
+      PivotMap pivots(columns.size() + 16);
+      reduce_dimension(p, columns, bars, pivots);
+      if (p < maxdim_) columns = assemble_columns(p + 1, pivots);
+    }
+    return bars;
+  }
+
+ private:
+  inline value_t d(index_t i, index_t j) const { return dist_[i * n_ + j]; }
+
+  value_t enclosing_radius() const {
+    value_t r = kInf;
+    for (index_t i = 0; i < n_; ++i) {
+      value_t m = 0;
+      for (index_t j = 0; j < n_; ++j) m = std::max(m, d(i, j));
+      r = std::min(r, m);
+    }
+    return r;
+  }
+
+  inline index_t edge_index(index_t i, index_t j) const {  // i < j
+    return binom_(j, 2) + i;
+  }
+
+  void decode(index_t idx, int dim, index_t* verts) const {
+    // verts filled descending: verts[0] = largest vertex
+    index_t v = n_ - 1;
+    for (int k = dim + 1; k > 0; --k) {
+      // largest v with binom(v, k) <= idx
+      while (binom_(v, k) > idx) --v;
+      verts[dim + 1 - k] = v;
+      idx -= binom_(v, k);
+      --v;
+    }
+  }
+
+  inline index_t encode(const index_t* verts, int count) const {
+    // verts descending
+    index_t idx = 0;
+    for (int i = 0; i < count; ++i) idx += binom_(verts[i], count - i);
+    return idx;
+  }
+
+  // --- dim 0: union-find ----------------------------------------------------
+
+  struct UF {
+    std::vector<index_t> parent;
+    explicit UF(index_t n) : parent(n) {
+      for (index_t i = 0; i < n; ++i) parent[i] = i;
+    }
+    index_t find(index_t x) {
+      index_t r = x;
+      while (parent[r] != r) r = parent[r];
+      while (parent[x] != r) { index_t nx = parent[x]; parent[x] = r; x = nx; }
+      return r;
+    }
+    bool unite(index_t a, index_t b) {
+      index_t ra = find(a), rb = find(b);
+      if (ra == rb) return false;
+      parent[ra] = rb;
+      return true;
+    }
+  };
+
+  std::vector<DiamIdx> dim0(std::vector<Bar>& bars) {
+    std::vector<DiamIdx> edges;
+    edges.reserve(static_cast<size_t>(n_) * (n_ - 1) / 2 / 4 + 16);
+    for (index_t j = 1; j < n_; ++j)
+      for (index_t i = 0; i < j; ++i) {
+        value_t dij = d(i, j);
+        if (dij <= thresh_) edges.push_back({dij, edge_index(i, j)});
+      }
+    std::sort(edges.begin(), edges.end(), ascending);
+
+    UF uf(n_);
+    std::vector<DiamIdx> positive;
+    positive.reserve(edges.size());
+    index_t verts[2];
+    for (const DiamIdx& e : edges) {
+      decode(e.idx, 1, verts);
+      if (uf.unite(verts[1], verts[0])) {
+        if (e.diam > 0) bars.push_back({0, 0.0, e.diam});
+      } else {
+        positive.push_back(e);
+      }
+    }
+    index_t n_comp = 0;
+    for (index_t v = 0; v < n_; ++v)
+      if (uf.find(v) == v) ++n_comp;
+    for (index_t c = 0; c < n_comp; ++c) bars.push_back({0, 0.0, -1.0});
+    return positive;
+  }
+
+  // --- cofacet enumeration ----------------------------------------------------
+  // Push all (p+1)-cofacets of a p-simplex into the heap.  Uses adjacency
+  // bitset intersection of the simplex's vertices; ascending w order is
+  // ascending colex index order.
+
+  template <typename Push>
+  void enumerate_cofacets(index_t idx, value_t simplex_diam, int p,
+                          Push&& push) const {
+    index_t verts[4];  // descending, p+1 entries (p <= 2 columns here)
+    decode(idx, p, verts);
+    size_t words = adj_->words();
+    scratch_.resize(words);
+    const uint64_t* r0 = adj_->row(verts[0]);
+    std::memcpy(scratch_.data(), r0, words * sizeof(uint64_t));
+    for (int i = 1; i <= p; ++i) {
+      const uint64_t* ri = adj_->row(verts[i]);
+      for (size_t w = 0; w < words; ++w) scratch_[w] &= ri[w];
+    }
+    index_t nverts[5];
+    for (size_t wi = 0; wi < words; ++wi) {
+      uint64_t bitsw = scratch_[wi];
+      while (bitsw) {
+        index_t w = static_cast<index_t>(wi * 64 + __builtin_ctzll(bitsw));
+        bitsw &= bitsw - 1;
+        // diameter of cofacet = max(facet diameter, new-vertex distances)
+        value_t diam = simplex_diam;
+        for (int i = 0; i <= p; ++i) diam = std::max(diam, d(verts[i], w));
+        // merge w into descending verts
+        int pos = 0;
+        while (pos <= p && verts[pos] > w) { nverts[pos] = verts[pos]; ++pos; }
+        nverts[pos] = w;
+        for (int i = pos; i <= p; ++i) nverts[i + 1] = verts[i];
+        index_t cidx = encode(nverts, p + 2);
+        if (!push(diam, cidx)) return;  // early exit (emergent shortcut)
+      }
+    }
+  }
+
+  // --- reduction ----------------------------------------------------------------
+
+  using Heap = std::priority_queue<DiamIdx, std::vector<DiamIdx>, HeapGreater>;
+
+  static bool pop_pivot(Heap& heap, DiamIdx& out) {
+    while (!heap.empty()) {
+      DiamIdx top = heap.top();
+      heap.pop();
+      if (!heap.empty() && heap.top().idx == top.idx &&
+          heap.top().diam == top.diam) {
+        heap.pop();  // Z/2 cancellation
+        continue;
+      }
+      out = top;
+      return true;
+    }
+    return false;
+  }
+
+  void reduce_dimension(int p, std::vector<DiamIdx>& columns,
+                        std::vector<Bar>& bars, PivotMap& pivots) {
+    // decreasing (diam, idx)
+    std::sort(columns.begin(), columns.end(),
+              [](const DiamIdx& a, const DiamIdx& b) { return ascending(b, a); });
+
+    std::vector<std::vector<DiamIdx>> v_columns;
+    v_columns.reserve(columns.size());
+
+    Heap heap;
+    for (size_t ci = 0; ci < columns.size(); ++ci) {
+      const DiamIdx col = columns[ci];
+#ifdef TDAX_DEBUG_STAGE
+      TDAX_DEBUG_STAGE("column start");
+#endif
+      while (!heap.empty()) heap.pop();
+
+      // Initial enumeration with emergent-pair shortcut: cofacets arrive
+      // in ascending colex order, so the FIRST one with diam == col.diam
+      // is the minimal (diam, idx) entry of the raw column (all cofacet
+      // diameters are >= col.diam).  Only that first one qualifies: if it
+      // is already owned, the shortcut is dead — the column must be
+      // reduced in full starting from that owned minimal pivot.
+      bool emergent = false;
+      bool shortcut_alive = true;
+      index_t emergent_idx = -1;
+      enumerate_cofacets(col.idx, col.diam, p, [&](value_t diam, index_t cidx) {
+        if (diam > thresh_) return true;
+        if (shortcut_alive && diam == col.diam) {
+          shortcut_alive = false;  // only the first equal-diam cofacet counts
+          if (pivots.find(cidx) < 0) {
+            emergent = true;
+            emergent_idx = cidx;
+            return false;  // stop enumeration — pivot found
+          }
+        }
+        heap.push({diam, cidx});
+        return true;
+      });
+
+      if (emergent) {
+        v_columns.push_back({col});
+        pivots.insert(emergent_idx, static_cast<int64_t>(v_columns.size() - 1));
+        continue;  // death == birth: no bar emitted
+      }
+
+      std::vector<DiamIdx> v_col{col};
+      long dbg_iters = 0;
+      (void)dbg_iters;
+      while (true) {
+        DiamIdx pivot;
+        if (!pop_pivot(heap, pivot)) {
+          bars.push_back({static_cast<int32_t>(p), col.diam, -1.0});
+          v_columns.push_back(std::move(v_col));
+          break;
+        }
+#ifdef TDAX_DEBUG_HOOK
+        ++dbg_iters;
+        TDAX_DEBUG_HOOK(col, dbg_iters, heap.size(), v_col.size(), pivot.diam, pivot.idx);
+#endif
+        int64_t owner = pivots.find(pivot.idx);
+        if (owner < 0) {
+          v_columns.push_back(std::move(v_col));
+          pivots.insert(pivot.idx, static_cast<int64_t>(v_columns.size() - 1));
+          if (pivot.diam > col.diam)
+            bars.push_back({static_cast<int32_t>(p), col.diam, pivot.diam});
+          break;
+        }
+        // add owner's column: re-push pivot (cancels with owner's copy),
+        // then expand the owner's V-column coboundaries.
+        heap.push(pivot);
+        const std::vector<DiamIdx> owner_col = v_columns[owner];  // copy: v_col may realloc
+        for (const DiamIdx& s : owner_col) {
+          v_col.push_back(s);
+          enumerate_cofacets(s.idx, s.diam, p, [&](value_t diam, index_t cidx) {
+            if (diam <= thresh_) heap.push({diam, cidx});
+            return true;
+          });
+        }
+      }
+    }
+  }
+
+  // --- clearing: assemble next dimension's columns ---------------------------
+
+  std::vector<DiamIdx> assemble_columns(int p, const PivotMap& pivots) const {
+    // enumerate all p-simplices <= thresh via edge extension with bitsets
+    std::vector<DiamIdx> out;
+    index_t verts[4];
+    std::vector<index_t> stack_verts;
+    // p == 2 (triangles) or p == 3 (tetrahedra); generic recursive grow
+    std::vector<uint64_t> inter(adj_->words());
+    std::function<void(std::vector<index_t>&, value_t, std::vector<uint64_t>&)> grow =
+        [&](std::vector<index_t>& cur, value_t diam, std::vector<uint64_t>& cand) {
+          if (static_cast<int>(cur.size()) == p + 1) {
+            for (size_t i = 0; i < cur.size(); ++i)
+              verts[i] = cur[cur.size() - 1 - i];  // descending
+            index_t idx = encode(verts, p + 1);
+            if (pivots.find(idx) < 0) out.push_back({diam, idx});
+            return;
+          }
+          index_t top = cur.back();
+          size_t words = adj_->words();
+          for (size_t wi = (top + 1) >> 6; wi < words; ++wi) {
+            uint64_t bitsw = cand[wi];
+            if (wi == static_cast<size_t>((top + 1) >> 6)) {
+              int shift = (top + 1) & 63;
+              bitsw &= ~((shift ? (1ULL << shift) : 1ULL) - 1ULL);
+            }
+            while (bitsw) {
+              index_t w = static_cast<index_t>(wi * 64 + __builtin_ctzll(bitsw));
+              bitsw &= bitsw - 1;
+              value_t nd = diam;
+              bool ok = true;
+              for (index_t v : cur) {
+                value_t dv = d(v, w);
+                if (dv > thresh_) { ok = false; break; }
+                nd = std::max(nd, dv);
+              }
+              if (!ok) continue;
+              std::vector<uint64_t> ncand(words);
+              const uint64_t* rw = adj_->row(w);
+              for (size_t k = 0; k < words; ++k) ncand[k] = cand[k] & rw[k];
+              cur.push_back(w);
+              grow(cur, nd, ncand);
+              cur.pop_back();
+            }
+          }
+        };
+    std::vector<index_t> cur;
+    std::vector<uint64_t> cand(adj_->words());
+    for (index_t v = 0; v + p <= n_ - 1; ++v) {
+      cur = {v};
+      std::memcpy(cand.data(), adj_->row(v), adj_->words() * sizeof(uint64_t));
+      grow(cur, 0.0, cand);
+    }
+    return out;
+  }
+
+  const value_t* dist_;
+  index_t n_;
+  int maxdim_;
+  Binomial binom_;
+  value_t thresh_;
+  bool essential_allowed_;
+  Adjacency* adj_;
+  mutable std::vector<uint64_t> scratch_;
+};
+
+}  // namespace
+
+extern "C" {
+
+int tdax_rips_dense(const double* dist, int n, int maxdim, double thresh,
+                    double** out, long* out_len) {
+  try {
+    RipsEngine engine(dist, n, maxdim, thresh);
+    std::vector<Bar> bars = engine.run();
+    double* buf = static_cast<double*>(malloc(sizeof(double) * 3 * bars.size()));
+    if (!buf && !bars.empty()) return 2;
+    for (size_t i = 0; i < bars.size(); ++i) {
+      buf[3 * i] = bars[i].dim;
+      buf[3 * i + 1] = bars[i].birth;
+      buf[3 * i + 2] = bars[i].death;
+    }
+    *out = buf;
+    *out_len = static_cast<long>(3 * bars.size());
+    return 0;
+  } catch (...) {
+    return 1;
+  }
+}
+
+void tdax_free(double* p) { free(p); }
+
+}  // extern "C"

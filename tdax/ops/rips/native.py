@@ -1,0 +1,106 @@
+"""ctypes bindings for the native C++ Rips engine (cpp/tdax_rips.cc).
+
+Auto-builds the shared library on first use (g++ -O3) and caches it
+next to the source.  Falls back gracefully: ``available()`` returns
+False when no compiler or build failure, and the python backend takes
+over.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_CPP_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))))), "cpp")
+_SO_PATH = os.path.join(_CPP_DIR, "libtdax_rips.so")
+_SRC_PATH = os.path.join(_CPP_DIR, "tdax_rips.cc")
+
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-march=native",
+        "-o", _SO_PATH, _SRC_PATH,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError, subprocess.TimeoutExpired) as e:
+        err = getattr(e, "stderr", b"")
+        print(f"[tdax] native rips build failed: {e} {err[:500] if err else ''}")
+        return False
+
+
+def _load():
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        if not os.path.exists(_SRC_PATH):
+            _build_failed = True
+            return None
+        if (not os.path.exists(_SO_PATH)
+                or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC_PATH)):
+            if not _build():
+                _build_failed = True
+                return None
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.tdax_rips_dense.restype = ctypes.c_int
+        lib.tdax_rips_dense.argtypes = [
+            ctypes.POINTER(ctypes.c_double),  # dist (n*n)
+            ctypes.c_int,                     # n
+            ctypes.c_int,                     # maxdim
+            ctypes.c_double,                  # thresh (inf -> enclosing radius)
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),  # out bars
+            ctypes.POINTER(ctypes.c_long),    # out n_bars (per dim offsets? flat)
+        ]
+        lib.tdax_free.restype = None
+        lib.tdax_free.argtypes = [ctypes.POINTER(ctypes.c_double)]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def rips_native(dist: np.ndarray, maxdim: int = 1,
+                thresh: float = np.inf) -> list[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native rips engine unavailable")
+    n = dist.shape[0]
+    dist64 = np.ascontiguousarray(dist, dtype=np.float64)
+    out_ptr = ctypes.POINTER(ctypes.c_double)()
+    out_len = ctypes.c_long(0)
+    rc = lib.tdax_rips_dense(
+        dist64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n, maxdim, float(thresh),
+        ctypes.byref(out_ptr), ctypes.byref(out_len),
+    )
+    if rc != 0:
+        raise RuntimeError(f"tdax_rips_dense failed with code {rc}")
+    try:
+        flat = np.ctypeslib.as_array(out_ptr, shape=(out_len.value,)).copy()
+    finally:
+        lib.tdax_free(out_ptr)
+    # layout: repeated records (dim, birth, death); death = -1 encodes inf
+    recs = flat.reshape(-1, 3)
+    dgms = []
+    for p in range(maxdim + 1):
+        bars = recs[recs[:, 0] == p][:, 1:3]
+        bars = bars.copy()
+        bars[bars[:, 1] < 0, 1] = np.inf
+        if len(bars):
+            idx = np.lexsort((bars[:, 1], bars[:, 0]))
+            bars = bars[idx]
+        dgms.append(bars)
+    return dgms
