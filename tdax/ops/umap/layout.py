@@ -1,0 +1,152 @@
+"""SGD embedding layout as a lax.scan.
+
+Reproduces umap-learn's ``optimize_layout_euclidean`` semantics —
+per-edge sampling schedules (epochs_per_sample), attractive gradients
+-2ab d^(2b-2) / (1 + a d^2b), negative sampling with repulsive
+gradients 2 gamma b / ((0.001 + d^2)(1 + a d^2b)), per-dimension clip
+to [-4, 4], alpha decaying linearly to 0 — but **epoch-synchronous**:
+each epoch computes all active gradients against the epoch-start
+embedding and applies one fused update, instead of Numba's sequential
+in-place races.  Deterministic under a PRNG key, fully parallel on
+TPU, and vmappable over a leading batch-of-clouds axis.
+
+The fuzzy graph is consumed densely as [n_head, n_tail]: the edge set,
+sampling schedules, and negative-sample draws are all fixed-shape
+masked tensors, so 32 layers' layouts compile to a single XLA program.
+
+Deviation notes (documented, downstream-invariant — SURVEY §7 #2):
+  * synchronous updates (see above);
+  * per-edge negative-sample count is capped at MAX_NEG per epoch
+    (umap's count is unbounded for rarely-sampled edges); schedules
+    still advance by the uncapped amount, so sampling cadence matches.
+
+umap quirks kept faithfully: a negative draw equal to the edge's tail
+is skipped; a zero-distance draw that is NOT the tail applies the
+constant +4-per-dimension kick; edges below max_weight/n_epochs are
+pruned before scheduling; schedules start at epochs_per_sample.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+MAX_NEG = 8  # per active edge per epoch; umap's per-epoch counts are ~negative_sample_rate
+
+
+def make_epochs_per_sample(weights: jnp.ndarray, n_epochs: int) -> jnp.ndarray:
+    """umap's make_epochs_per_sample on a dense weight matrix; inf = never."""
+    wmax = jnp.max(weights)
+    n_samples = n_epochs * (weights / jnp.maximum(wmax, 1e-30))
+    return jnp.where(n_samples > 0, n_epochs / jnp.maximum(n_samples, 1e-30), jnp.inf)
+
+
+def _epoch_forces(head, tail, graph_active, neg_idx, neg_on, tail_j_idx,
+                  a, b, gamma):
+    """Returns (head_force, head_count, tail_force, tail_count) for one epoch.
+
+    head/tail: epoch-start embeddings.  graph_active [nh, nt] bool.
+    neg_idx/neg_on [nh, nt, MAX_NEG]: negative draws and their masks.
+    Forces are summed per point; counts are the number of contributing
+    micro-updates, used by the caller to take the MEAN force — the
+    stabilizer that replaces Numba's sequential self-correcting
+    micro-steps with one bounded synchronous step per epoch.
+    """
+    # --- attractive ---
+    diff = head[:, None, :] - tail[None, :, :]                   # [nh, nt, d]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    pd2b = jnp.power(jnp.maximum(d2, 1e-12), b)
+    att_coeff = jnp.where(d2 > 0.0,
+                          (-2.0 * a * b * pd2b / jnp.maximum(d2, 1e-12))
+                          / (a * pd2b + 1.0),
+                          0.0)
+    att_grad = jnp.clip(att_coeff[:, :, None] * diff, -4.0, 4.0)
+    att_grad = jnp.where(graph_active[:, :, None], att_grad, 0.0)
+    head_force = jnp.sum(att_grad, axis=1)                       # [nh, d]
+    tail_force = -jnp.sum(att_grad, axis=0)                      # [nt, d]
+    head_count = jnp.sum(graph_active, axis=1).astype(head.dtype)
+    tail_count = jnp.sum(graph_active, axis=0).astype(head.dtype)
+
+    # --- repulsive (negative samples; only heads move) ---
+    neg_pts = tail[neg_idx]                                      # [nh, nt, MAX_NEG, d]
+    ndiff = head[:, None, None, :] - neg_pts
+    nd2 = jnp.sum(ndiff * ndiff, axis=-1)
+    npd2b = jnp.power(jnp.maximum(nd2, 1e-12), b)
+    rep_coeff = (2.0 * gamma * b) / ((0.001 + nd2) * (a * npd2b + 1.0))
+    rep_grad = jnp.clip(rep_coeff[..., None] * ndiff, -4.0, 4.0)
+    zero_d = nd2 <= 0.0
+    is_tail = neg_idx == tail_j_idx[None, :, None]               # draw == edge tail -> skip
+    rep_grad = jnp.where((zero_d & ~is_tail)[..., None],
+                         4.0, rep_grad)                          # umap's constant kick
+    on = neg_on & ~(zero_d & is_tail)
+    rep_grad = jnp.where(on[..., None], rep_grad, 0.0)
+    head_force = head_force + jnp.sum(rep_grad, axis=(1, 2))
+    head_count = head_count + jnp.sum(on, axis=(1, 2)).astype(head.dtype)
+    return head_force, head_count, tail_force, tail_count
+
+
+@functools.partial(jax.jit, static_argnames=("n_epochs", "negative_sample_rate", "move_other"))
+def optimize_layout(head_embedding: jnp.ndarray,
+                    tail_embedding: jnp.ndarray,
+                    graph: jnp.ndarray,
+                    n_epochs: int,
+                    key: jax.Array,
+                    a: float, b: float,
+                    gamma: float = 1.0,
+                    initial_alpha: float = 1.0,
+                    negative_sample_rate: int = 5,
+                    move_other: bool = True) -> jnp.ndarray:
+    """Optimize head_embedding against tail_embedding.
+
+    graph[i, j] > 0 is a directed edge pulling head i toward tail j.
+    move_other=True is fit mode: head and tail are the SAME embedding
+    (pass identical arrays); attractive recoil on tails folds into the
+    single evolving state.  move_other=False is transform mode: tails
+    stay fixed at ``tail_embedding``.
+    """
+    n_head, dim = head_embedding.shape
+    n_tail = tail_embedding.shape[0]
+    a32, b32, g32 = jnp.float32(a), jnp.float32(b), jnp.float32(gamma)
+
+    wmax = jnp.max(graph)
+    graph = jnp.where(graph < wmax / n_epochs, 0.0, graph)
+    eps_mat = make_epochs_per_sample(graph, n_epochs)            # [nh, nt]
+    epns_mat = eps_mat / negative_sample_rate
+    edge_mask = jnp.isfinite(eps_mat)
+    tail_j_idx = jnp.arange(n_tail)
+
+    def epoch_step(state, epoch):
+        emb, eons, eonns = state
+        head = emb
+        tail = emb if move_other else tail_embedding.astype(jnp.float32)
+        alpha = initial_alpha * (1.0 - epoch.astype(jnp.float32) / n_epochs)
+
+        active = edge_mask & (eons <= epoch)
+        n_neg = jnp.where(active, (epoch.astype(jnp.float32) - eonns) / epns_mat, 0.0)
+        n_neg_int = jnp.floor(n_neg).astype(jnp.int32)
+        k1 = jax.random.fold_in(key, epoch)
+        neg_idx = jax.random.randint(k1, (n_head, n_tail, MAX_NEG), 0, n_tail)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (n_head, n_tail, MAX_NEG), 2)
+        neg_on = active[:, :, None] & (slot < jnp.minimum(n_neg_int, MAX_NEG)[:, :, None])
+
+        head_force, head_count, tail_force, tail_count = _epoch_forces(
+            head, tail, active, neg_idx, neg_on, tail_j_idx, a32, b32, g32)
+
+        if move_other:
+            count = jnp.maximum(head_count + tail_count, 1.0)
+            emb = emb + (head_force + tail_force) / count[:, None] * alpha
+        else:
+            emb = emb + head_force / jnp.maximum(head_count, 1.0)[:, None] * alpha
+
+        eons = jnp.where(active, eons + eps_mat, eons)
+        eonns = jnp.where(active, eonns + n_neg_int.astype(jnp.float32) * epns_mat, eonns)
+        return (emb, eons, eonns), None
+
+    eons0 = jnp.where(edge_mask, eps_mat, jnp.inf)
+    eonns0 = jnp.where(edge_mask, epns_mat, jnp.inf)
+    state0 = (head_embedding.astype(jnp.float32), eons0, eonns0)
+    (emb, _, _), _ = jax.lax.scan(epoch_step, state0,
+                                  jnp.arange(n_epochs, dtype=jnp.int32))
+    return emb

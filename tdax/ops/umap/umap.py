@@ -1,0 +1,208 @@
+"""UMAP estimator: sklearn-style fit/transform plus a batched TPU path.
+
+The reference uses two modes (SURVEY §2.2):
+  * fresh ``fit_transform`` per layer cloud (debug_tda_pipeline.py:96-104);
+  * ``fit`` on the last layer then ``transform`` of every layer — the
+    shared-reducer "same camera" mode (analyze_tda_over_layers.py:65-72).
+
+Both are provided, plus ``fit_transform_batched``: a single jitted
+vmap over a leading clouds axis that embeds all 32 layers in one XLA
+program — the TPU-native replacement for 32 serial Numba fits.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdax.config import UMAPConfig
+from tdax.ops.umap.fuzzy import (fuzzy_simplicial_set, knn, membership_strengths,
+                                 pairwise, smooth_knn_dist)
+from tdax.ops.umap.layout import optimize_layout
+from tdax.ops.umap.spectral import spectral_init
+
+
+@functools.lru_cache(maxsize=64)
+def find_ab_params(spread: float, min_dist: float) -> tuple[float, float]:
+    """Fit the (a, b) curve params: 1/(1 + a x^(2b)) approximating the
+    fuzzy membership target (umap-learn's find_ab_params, via scipy)."""
+    from scipy.optimize import curve_fit
+
+    def curve(x, a, b):
+        return 1.0 / (1.0 + a * x ** (2 * b))
+
+    xv = np.linspace(0, spread * 3, 300)
+    yv = np.zeros_like(xv)
+    yv[xv < min_dist] = 1.0
+    yv[xv >= min_dist] = np.exp(-(xv[xv >= min_dist] - min_dist) / spread)
+    params, _ = curve_fit(curve, xv, yv)
+    return float(params[0]), float(params[1])
+
+
+def _default_epochs(n: int, n_epochs: int | None) -> int:
+    if n_epochs is not None:
+        return int(n_epochs)
+    return 500 if n <= 10000 else 200
+
+
+def _embed(x: jnp.ndarray, n_neighbors: int, n_components: int, metric: str,
+           n_epochs: int, key: jax.Array, a: float, b: float,
+           learning_rate: float, negative_sample_rate: int,
+           repulsion_strength: float, local_connectivity: float,
+           set_op_mix_ratio: float) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One cloud -> (embedding [n, n_components], fuzzy graph [n, n])."""
+    w, _, _ = fuzzy_simplicial_set(x, n_neighbors, metric,
+                                   local_connectivity=local_connectivity,
+                                   set_op_mix_ratio=set_op_mix_ratio)
+    k_init, k_layout = jax.random.split(key)
+    init = spectral_init(w, n_components, k_init)
+    emb = optimize_layout(init, init, w, n_epochs, k_layout, a, b,
+                          gamma=repulsion_strength,
+                          initial_alpha=learning_rate,
+                          negative_sample_rate=negative_sample_rate,
+                          move_other=True)
+    return emb, w
+
+
+class UMAP:
+    """Drop-in for the reference's as-used umap.UMAP surface."""
+
+    def __init__(self, n_neighbors: int = 15, n_components: int = 2,
+                 min_dist: float = 0.1, spread: float = 1.0,
+                 metric: str = "euclidean", random_state: int | None = None,
+                 n_epochs: int | None = None, learning_rate: float = 1.0,
+                 negative_sample_rate: int = 5, repulsion_strength: float = 1.0,
+                 local_connectivity: float = 1.0, set_op_mix_ratio: float = 1.0,
+                 init: str = "spectral"):
+        self.n_neighbors = n_neighbors
+        self.n_components = n_components
+        self.min_dist = min_dist
+        self.spread = spread
+        self.metric = metric
+        self.random_state = 42 if random_state is None else int(random_state)
+        self.n_epochs = n_epochs
+        self.learning_rate = learning_rate
+        self.negative_sample_rate = negative_sample_rate
+        self.repulsion_strength = repulsion_strength
+        self.local_connectivity = local_connectivity
+        self.set_op_mix_ratio = set_op_mix_ratio
+        if init != "spectral":
+            raise NotImplementedError("only spectral init is supported")
+        self._a, self._b = find_ab_params(spread, min_dist)
+        self.embedding_ = None
+        self._train_x = None
+
+    @classmethod
+    def from_config(cls, cfg: UMAPConfig) -> "UMAP":
+        return cls(n_neighbors=cfg.n_neighbors, n_components=cfg.n_components,
+                   min_dist=cfg.min_dist, spread=cfg.spread, metric=cfg.metric,
+                   random_state=cfg.random_state, n_epochs=cfg.n_epochs,
+                   learning_rate=cfg.learning_rate,
+                   negative_sample_rate=cfg.negative_sample_rate,
+                   repulsion_strength=cfg.repulsion_strength,
+                   local_connectivity=cfg.local_connectivity,
+                   set_op_mix_ratio=cfg.set_op_mix_ratio)
+
+    def _key(self) -> jax.Array:
+        return jax.random.PRNGKey(self.random_state)
+
+    def fit(self, x: np.ndarray) -> "UMAP":
+        x = jnp.asarray(np.asarray(x), dtype=jnp.float32)
+        n = x.shape[0]
+        k = min(self.n_neighbors, n - 1) if n > 1 else 1
+        emb, _ = _embed(x, k, self.n_components, self.metric,
+                        _default_epochs(n, self.n_epochs), self._key(),
+                        self._a, self._b, self.learning_rate,
+                        self.negative_sample_rate, self.repulsion_strength,
+                        self.local_connectivity, self.set_op_mix_ratio)
+        self.embedding_ = np.asarray(emb)
+        self._train_x = x
+        return self
+
+    def fit_transform(self, x: np.ndarray) -> np.ndarray:
+        self.fit(x)
+        return self.embedding_
+
+    def transform(self, x: np.ndarray) -> np.ndarray:
+        """Embed new points against the fitted reducer (train points fixed) —
+        the shared-camera mode of analyze_tda_over_layers.py:65-72."""
+        if self.embedding_ is None:
+            raise RuntimeError("transform called before fit")
+        x = jnp.asarray(np.asarray(x), dtype=jnp.float32)
+        n_new = x.shape[0]
+        n_train = self._train_x.shape[0]
+        k = min(self.n_neighbors, n_train)
+
+        # kNN of new points against training data
+        if self.metric == "cosine":
+            xn = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-30)
+            tn = self._train_x / jnp.maximum(
+                jnp.linalg.norm(self._train_x, axis=-1, keepdims=True), 1e-30)
+            dist = jnp.clip(1.0 - xn @ tn.T, 0.0, 2.0)
+        else:
+            d2 = (jnp.sum(x * x, -1)[:, None] + jnp.sum(self._train_x ** 2, -1)[None, :]
+                  - 2.0 * x @ self._train_x.T)
+            dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+        neg, idx = jax.lax.top_k(-dist, k)
+        dists = -neg
+
+        # no self column in cross-kNN: prepend a zero column so the
+        # calibration's skip-self convention stays consistent
+        sigma, rho = smooth_knn_dist(
+            jnp.concatenate([jnp.zeros((n_new, 1), dists.dtype), dists], axis=1),
+            float(k), local_connectivity=self.local_connectivity)
+
+        d_adj = dists - rho[:, None]
+        w = jnp.where(d_adj <= 0.0, 1.0, jnp.exp(-d_adj / sigma[:, None]))
+        rows = jnp.broadcast_to(jnp.arange(n_new)[:, None], (n_new, k))
+        graph = jnp.zeros((n_new, n_train), dtype=w.dtype)
+        graph = graph.at[rows.reshape(-1), idx.reshape(-1)].add(w.reshape(-1))
+
+        # init: weighted mean of neighbor embeddings
+        train_emb = jnp.asarray(self.embedding_, dtype=jnp.float32)
+        wsum = jnp.maximum(jnp.sum(graph, axis=1, keepdims=True), 1e-12)
+        init = (graph @ train_emb) / wsum
+
+        n_epochs = (int(self.n_epochs // 3) if self.n_epochs
+                    else (100 if n_new <= 10000 else 30))
+        key = jax.random.fold_in(self._key(), 1)
+        emb = optimize_layout(init, train_emb, graph, n_epochs, key,
+                              self._a, self._b,
+                              gamma=self.repulsion_strength,
+                              initial_alpha=self.learning_rate,
+                              negative_sample_rate=self.negative_sample_rate,
+                              move_other=False)
+        return np.asarray(emb)
+
+
+def fit_transform_batched(clouds: np.ndarray, cfg: UMAPConfig | None = None,
+                          n_neighbors: int | None = None) -> np.ndarray:
+    """Embed a stack of clouds [L, n, D] -> [L, n, n_components] in ONE
+    jitted program (vmap over the layer axis).
+
+    Each layer gets the same seed — faithful to the reference, which
+    constructs a fresh ``umap.UMAP(random_state=42)`` per layer
+    (debug_tda_pipeline.py:96-102).
+    """
+    cfg = cfg or UMAPConfig()
+    clouds = jnp.asarray(np.asarray(clouds), dtype=jnp.float32)
+    n_layers, n, _ = clouds.shape
+    k = n_neighbors if n_neighbors is not None else min(cfg.n_neighbors, n - 1)
+    a, b = find_ab_params(cfg.spread, cfg.min_dist)
+    n_epochs = _default_epochs(n, cfg.n_epochs)
+    key = jax.random.PRNGKey(cfg.random_state)
+
+    @functools.partial(jax.jit)
+    def run(cs):
+        def one(c):
+            emb, _ = _embed(c, k, cfg.n_components, cfg.metric, n_epochs, key,
+                            a, b, cfg.learning_rate, cfg.negative_sample_rate,
+                            cfg.repulsion_strength, cfg.local_connectivity,
+                            cfg.set_op_mix_ratio)
+            return emb
+        return jax.vmap(one)(cs)
+
+    return np.asarray(run(clouds))

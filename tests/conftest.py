@@ -13,9 +13,18 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The axon sitecustomize force-registers the TPU plugin and overrides
+# jax_platforms at interpreter start; undo that for the test session.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import pathlib
 
 import pytest
+
+assert jax.devices()[0].platform == "cpu", "tests must run on the virtual CPU mesh"
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
 REFERENCE_DIR = pathlib.Path("/root/reference")
 

@@ -1,0 +1,126 @@
+"""UMAP: stage-level exactness + structural quality of embeddings."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tdax.ops.umap import UMAP, fit_transform_batched
+from tdax.ops.umap.fuzzy import fuzzy_simplicial_set, knn, pairwise, smooth_knn_dist
+from tdax.ops.umap.spectral import spectral_init
+from tdax.ops.umap.umap import find_ab_params
+from tdax.config import UMAPConfig
+
+
+@pytest.fixture(scope="module")
+def clusters():
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(6, 50)) * 5
+    x = np.concatenate([c + rng.normal(0, 0.3, (6, 50)) for c in centers])
+    labels = np.repeat(np.arange(6), 6)
+    return x.astype(np.float32), labels
+
+
+def test_find_ab_params_matches_umap_learn():
+    # umap-learn's published values for (spread=1, min_dist=0.1)
+    a, b = find_ab_params(1.0, 0.1)
+    assert a == pytest.approx(1.577, abs=0.01)
+    assert b == pytest.approx(0.8951, abs=0.01)
+
+
+def test_knn_exact_vs_sklearn(clusters):
+    x, _ = clusters
+    d = pairwise(jnp.asarray(x), "cosine")
+    idx, dists = knn(d, 6)
+    from sklearn.neighbors import NearestNeighbors
+    nn = NearestNeighbors(n_neighbors=6, metric="cosine").fit(x)
+    skl_d, skl_i = nn.kneighbors(x)
+    # same neighbor distances (indices can tie-swap)
+    np.testing.assert_allclose(np.asarray(dists), skl_d, atol=1e-5)
+    assert (np.asarray(idx)[:, 0] == np.arange(len(x))).all()  # self first
+
+
+def test_smooth_knn_hits_entropy_target(clusters):
+    x, _ = clusters
+    d = pairwise(jnp.asarray(x), "cosine")
+    _, dists = knn(d, 6)
+    sigma, rho = smooth_knn_dist(dists, 6.0)
+    # binary search target: sum of memberships = log2(k)
+    d_adj = np.asarray(dists)[:, 1:] - np.asarray(rho)[:, None]
+    psum = np.where(d_adj > 0, np.exp(-d_adj / np.asarray(sigma)[:, None]), 1.0).sum(1)
+    np.testing.assert_allclose(psum, np.log2(6.0), atol=1e-3)
+    assert (np.asarray(rho) >= 0).all()
+
+
+def test_fuzzy_graph_symmetric(clusters):
+    x, _ = clusters
+    w, _, _ = fuzzy_simplicial_set(jnp.asarray(x), 6, "cosine")
+    w = np.asarray(w)
+    np.testing.assert_allclose(w, w.T, atol=1e-6)
+    assert (np.diag(w) == 0).all()
+    assert w.max() <= 1.0 + 1e-6 and w.min() >= 0.0
+
+
+def test_spectral_init_scale(clusters):
+    x, _ = clusters
+    w, _, _ = fuzzy_simplicial_set(jnp.asarray(x), 6, "cosine")
+    emb = spectral_init(w, 3, jax.random.PRNGKey(0))
+    assert emb.shape == (36, 3)
+    assert 9.0 < float(jnp.max(jnp.abs(emb))) < 10.1  # scaled to ~10 + jitter
+
+
+def test_embedding_separates_clusters(clusters):
+    x, labels = clusters
+    emb = UMAP(n_neighbors=6, n_components=3, random_state=42,
+               metric="cosine").fit_transform(x)
+    from sklearn.metrics import silhouette_score
+    assert silhouette_score(emb, labels) > 0.5
+    assert np.isfinite(emb).all()
+
+
+def test_embedding_preserves_circle():
+    rng = np.random.default_rng(1)
+    t = np.linspace(0, 2 * np.pi, 36, endpoint=False)
+    x = np.stack([np.cos(t), np.sin(t)], 1) @ rng.normal(size=(2, 20))
+    x += rng.normal(0, 0.01, x.shape)
+    emb = UMAP(n_neighbors=6, n_components=3, random_state=42,
+               metric="euclidean").fit_transform(x)
+    from tdax.ops.rips import rips
+    h1 = rips(np.asarray(emb, np.float64), maxdim=1)["dgms"][1]
+    pers = h1[:, 1] - h1[:, 0]
+    assert len(pers) >= 1 and pers.max() > 0.3  # the loop survives embedding
+
+
+def test_deterministic(clusters):
+    x, _ = clusters
+    e1 = UMAP(n_neighbors=6, n_components=3, random_state=42, metric="cosine").fit_transform(x)
+    e2 = UMAP(n_neighbors=6, n_components=3, random_state=42, metric="cosine").fit_transform(x)
+    np.testing.assert_array_equal(e1, e2)
+    e3 = UMAP(n_neighbors=6, n_components=3, random_state=7, metric="cosine").fit_transform(x)
+    assert not np.allclose(e1, e3)
+
+
+def test_batched_matches_single(clusters):
+    x, _ = clusters
+    clouds = np.stack([x, x[::-1].copy()])
+    cfg = UMAPConfig(n_neighbors=6, n_components=3, random_state=42, metric="cosine")
+    batched = fit_transform_batched(clouds, cfg)
+    single0 = UMAP.from_config(cfg).fit_transform(clouds[0])
+    np.testing.assert_allclose(batched[0], single0, atol=1e-4)
+    assert batched.shape == (2, 36, 3)
+
+
+def test_transform_mode(clusters):
+    """Shared-reducer mode (analyze_tda_over_layers.py:65-72): fit on one
+    cloud, transform another; new points land near their neighbors."""
+    x, labels = clusters
+    u = UMAP(n_neighbors=6, n_components=3, random_state=42, metric="cosine")
+    u.fit(x)
+    # transform the training data itself: should land near the fitted embedding
+    t = u.transform(x)
+    d = np.linalg.norm(t - u.embedding_, axis=1)
+    spread = np.abs(u.embedding_).max()
+    assert np.median(d) < spread * 0.5
+    # cluster structure retained under transform
+    from sklearn.metrics import silhouette_score
+    assert silhouette_score(t, labels) > 0.3
