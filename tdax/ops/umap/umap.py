@@ -193,10 +193,11 @@ def fit_transform_batched(clouds: np.ndarray, cfg: UMAPConfig | None = None,
     k = n_neighbors if n_neighbors is not None else min(cfg.n_neighbors, n - 1)
     a, b = find_ab_params(cfg.spread, cfg.min_dist)
     n_epochs = _default_epochs(n, cfg.n_epochs)
-    key = jax.random.PRNGKey(cfg.random_state)
 
-    @functools.partial(jax.jit)
-    def run(cs):
+    @jax.jit
+    def run(cs, key):
+        # key is an argument, not a closure capture: captured device arrays
+        # become lowering-time constants that cost a device->host fetch each.
         def one(c):
             emb, _ = _embed(c, k, cfg.n_components, cfg.metric, n_epochs, key,
                             a, b, cfg.learning_rate, cfg.negative_sample_rate,
@@ -205,4 +206,4 @@ def fit_transform_batched(clouds: np.ndarray, cfg: UMAPConfig | None = None,
             return emb
         return jax.vmap(one)(cs)
 
-    return np.asarray(run(clouds))
+    return np.asarray(run(clouds, jax.random.PRNGKey(cfg.random_state)))

@@ -1,0 +1,179 @@
+"""Per-layer UMAP + persistence sweep.
+
+The TPU-native successor of the reference's main analysis loop
+(debug_tda_pipeline.py:92-150): where the reference runs 32 serial
+Numba UMAP fits + 32 serial ripser calls, tdax
+
+  1. embeds ALL layers in one jitted vmapped program
+     (tdax.ops.umap.fit_transform_batched) — the whole sweep is a
+     single XLA compilation on the device mesh;
+  2. scores ALL layer x label silhouettes in one vmapped program;
+  3. runs Vietoris-Rips persistence per layer through the native C++
+     engine in a thread pool (ctypes releases the GIL).
+
+Artifacts and JSON schemas are byte-compatible with the reference
+(SURVEY §5 "observability"): point_clouds_3d/layer_i_cloud.npy,
+diagrams/layer_i_diagram.png, summary_stats.json,
+summary_evolution_plot.png, and both peak-selection rules
+(shape-silhouette argmax debug_tda_pipeline.py:195; max-H1 argmax
+analyze_tda_over_layers.py:126).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import os
+import shutil
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdax.config import SweepConfig
+from tdax.data.io import activations_to_layer_clouds, dump_json, ensure_dir, load_metadata
+from tdax.metrics.persistence import diagram_stats
+from tdax.metrics.silhouette import silhouette_jax
+from tdax.ops.rips import rips
+from tdax.ops.umap import UMAP, fit_transform_batched
+from tdax.viz.diagrams import save_diagram_png
+from tdax.viz.evolution import plot_evolution_2x2
+
+
+def _encode_labels(labels: list[str]) -> tuple[np.ndarray, int]:
+    _, enc = np.unique(np.asarray(labels), return_inverse=True)
+    return enc.astype(np.int32), int(enc.max()) + 1
+
+
+def batched_silhouettes(clouds: np.ndarray, label_sets: dict[str, list[str]]) -> dict[str, np.ndarray]:
+    """Silhouette of every layer cloud against every label set — one
+    vmapped program per label set."""
+    cj = jnp.asarray(clouds, dtype=jnp.float32)
+    out: dict[str, np.ndarray] = {}
+    for name, labels in label_sets.items():
+        enc, n_classes = _encode_labels(labels)
+        fn = jax.jit(jax.vmap(lambda c: silhouette_jax(c, jnp.asarray(enc), n_classes)))
+        out[name] = np.asarray(fn(cj))
+    return out
+
+
+def persistence_per_layer(clouds_3d: np.ndarray, maxdim: int = 1,
+                          backend: str = "auto",
+                          max_workers: int | None = None) -> list[list[np.ndarray]]:
+    """VR diagrams for each layer cloud, thread-parallel over layers."""
+    n_layers = clouds_3d.shape[0]
+    max_workers = max_workers or min(n_layers, os.cpu_count() or 8)
+
+    def one(i: int):
+        return rips(np.asarray(clouds_3d[i], dtype=np.float64),
+                    maxdim=maxdim, backend=backend)["dgms"]
+
+    with cf.ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return list(pool.map(one, range(n_layers)))
+
+
+def embed_layers(clouds: np.ndarray, cfg: SweepConfig) -> np.ndarray:
+    """[L, n, D] -> [L, n, 3] in the configured reducer mode."""
+    n = clouds.shape[1]
+    k = min(cfg.umap.n_neighbors, n - 1)
+    if cfg.reducer_mode == "per_layer":
+        return fit_transform_batched(clouds, cfg.umap, n_neighbors=k)
+    if cfg.reducer_mode == "shared":
+        # fit on the LAST layer, transform every layer (same "camera") —
+        # analyze_tda_over_layers.py:65-72
+        reducer = UMAP.from_config(cfg.umap)
+        reducer.n_neighbors = k
+        reducer.fit(clouds[-1])
+        return np.stack([reducer.transform(clouds[i]) for i in range(clouds.shape[0])])
+    raise ValueError(f"unknown reducer_mode {cfg.reducer_mode!r}")
+
+
+def run_tda_sweep(all_data: dict[str, dict], metadata_path: str,
+                  cfg: SweepConfig | None = None,
+                  verbose: bool = True) -> dict:
+    """Full sweep; returns {"stats": [...], "peak_layer": int,
+    "clouds_3d": [L,n,3], "diagrams": [...]} and writes the artifact tree."""
+    cfg = cfg or SweepConfig()
+
+    if os.path.exists(cfg.output_dir):
+        shutil.rmtree(cfg.output_dir)  # reference wipes per run (:29-32)
+    diagram_dir = ensure_dir(os.path.join(cfg.output_dir, "diagrams"))
+    cloud_dir = ensure_dir(os.path.join(cfg.output_dir, "point_clouds_3d"))
+
+    metadata = load_metadata(metadata_path)
+    metadata_map = {m["id"]: m for m in metadata}
+
+    clouds, sample_ids = activations_to_layer_clouds(
+        all_data, cfg.n_layers, point_cloud_type=cfg.point_cloud_type)
+    color_labels = [metadata_map[i]["color"] for i in sample_ids]
+    shape_labels = [metadata_map[i]["shape"] for i in sample_ids]
+    if verbose:
+        print(f"Found {len(sample_ids)} samples for type '{cfg.point_cloud_type}'")
+
+    import time as _time
+    _t = _time.time()
+
+    # 1) all layers embedded in one compiled program
+    clouds_3d = embed_layers(clouds, cfg).astype(np.float32)
+    if verbose:
+        print(f"[tdax] embed ({cfg.reducer_mode}): {_time.time() - _t:.1f}s", flush=True)
+    _t = _time.time()
+
+    # 2) all silhouettes in one vmapped program per label set
+    sil = batched_silhouettes(clouds_3d, {"shape": shape_labels, "color": color_labels})
+    if verbose:
+        print(f"[tdax] silhouettes: {_time.time() - _t:.1f}s", flush=True)
+    _t = _time.time()
+
+    # 3) persistence per layer (threaded native engine)
+    dgms_per_layer = persistence_per_layer(clouds_3d, maxdim=cfg.rips.maxdim,
+                                           backend=cfg.rips.backend)
+    if verbose:
+        print(f"[tdax] persistence: {_time.time() - _t:.1f}s", flush=True)
+
+    all_stats = []
+    for i in range(cfg.n_layers):
+        if cfg.save_clouds:
+            np.save(os.path.join(cloud_dir, f"layer_{i}_cloud.npy"), clouds_3d[i])
+        stats = diagram_stats(dgms_per_layer[i], layer=i)
+        stats["silhouette_shape"] = float(sil["shape"][i])
+        stats["silhouette_color"] = float(sil["color"][i])
+        all_stats.append(stats)
+        if verbose:
+            print(f"\n--- Layer {i} Stats ---")
+            print(f"  Max H1 Pers: {stats['max_h1_persistence']:.4f} "
+                  f"(n={stats['n_h1_features']})")
+            print(f"  Max H0 Pers: {stats['max_h0_persistence']:.4f}")
+            print(f"  SILHOUETTE (Shape): {stats['silhouette_shape']:.4f}")
+            print(f"  SILHOUETTE (Color): {stats['silhouette_color']:.4f}")
+
+    if cfg.save_diagrams:
+        def render(i: int) -> None:
+            s = all_stats[i]
+            save_diagram_png(
+                dgms_per_layer[i],
+                os.path.join(diagram_dir, f"layer_{i}_diagram.png"),
+                title=f"Layer {i} Diagram | "
+                      f"Shape Score: {s['silhouette_shape']:.2f} | "
+                      f"Color Score: {s['silhouette_color']:.2f}")
+        with cf.ThreadPoolExecutor(max_workers=4) as pool:
+            list(pool.map(render, range(cfg.n_layers)))
+
+    dump_json(all_stats, os.path.join(cfg.output_dir, "summary_stats.json"))
+    plot_evolution_2x2(all_stats, os.path.join(cfg.output_dir, "summary_evolution_plot.png"))
+
+    if cfg.peak_rule == "shape_silhouette":
+        peak_layer = int(np.argmax([s["silhouette_shape"] for s in all_stats]))
+    elif cfg.peak_rule == "max_h1":
+        peak_layer = int(np.argmax([s["max_h1_persistence"] for s in all_stats]))
+    else:
+        raise ValueError(f"unknown peak_rule {cfg.peak_rule!r}")
+
+    if verbose:
+        import json as _json
+        print("\n--- Overall Result ---")
+        print(f"Peak layer ({cfg.peak_rule}): {peak_layer}")
+        print(_json.dumps(all_stats[peak_layer], indent=2))
+
+    return {"stats": all_stats, "peak_layer": peak_layer,
+            "clouds_3d": clouds_3d, "diagrams": dgms_per_layer,
+            "sample_ids": sample_ids}
