@@ -1,0 +1,146 @@
+"""QWen decoder in JAX: RMSNorm, rotary, causal attention, SwiGLU.
+
+Architecture contract: the ``transformer.h[i]`` blocks the reference
+hooks (extract_activations.py:44-54) — pre-RMSNorm, fused QKV with
+bias, rotary on the full head dim (base 10000), causal attention,
+output projection without bias, then pre-RMSNorm SwiGLU MLP
+(w1 * silu(w2) -> c_proj).
+
+TPU-first details:
+  * layer weights are STACKED [n_layers, ...] and the depth loop is a
+    ``lax.scan`` — one compiled block body regardless of depth;
+  * per-layer capture is emitted from the scan as a stacked
+    [n_layers, batch, hidden] array of last-token vectors (the hook
+    replacement — capture semantics: output of block i, i.e. the
+    hidden state AFTER block i, matching ``output[0]`` in the hook,
+    extract_activations.py:37-39);
+  * attention logits accumulate in float32 on the MXU
+    (preferred_element_type), softmax in float32, params/activations
+    bfloat16-friendly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tdax.models.qwen_vl.config import QwenVLConfig
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * weight
+
+
+def rotary_cos_sin(positions: jnp.ndarray, head_dim: int,
+                   base: float) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """positions [B, T] -> cos/sin [B, T, head_dim/2], float32."""
+    inv_freq = 1.0 / (base ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # [B, T, hd/2]
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rotary(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x [B, T, n_heads, head_dim]; rotate-half convention (QWen/LLaMA)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    r1 = xf1 * cos - xf2 * sin
+    r2 = xf2 * cos + xf1 * sin
+    return jnp.concatenate([r1, r2], axis=-1).astype(x.dtype)
+
+
+def attention(x: jnp.ndarray, layer: dict, cfg: QwenVLConfig,
+              cos: jnp.ndarray, sin: jnp.ndarray,
+              mask: jnp.ndarray) -> jnp.ndarray:
+    """x [B, T, H]; mask [B, 1, T, T] additive (0 or -inf)."""
+    b, t, h = x.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+
+    qkv = jnp.dot(x, layer["attn_qkv_w"],
+                  preferred_element_type=jnp.float32).astype(x.dtype)
+    qkv = qkv + layer["attn_qkv_b"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, t, nh, hd)
+    k = k.reshape(b, t, nh, hd)
+    v = v.reshape(b, t, nh, hd)
+
+    q = apply_rotary(q, cos, sin)
+    k = apply_rotary(k, cos, sin)
+
+    scale = 1.0 / jnp.sqrt(jnp.float32(hd))
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    logits = logits + mask
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.reshape(b, t, h)
+    return jnp.dot(out, layer["attn_proj_w"],
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def mlp(x: jnp.ndarray, layer: dict) -> jnp.ndarray:
+    """QWen SwiGLU: c_proj(w1(x) * silu(w2(x)))."""
+    a1 = jnp.dot(x, layer["mlp_w1"], preferred_element_type=jnp.float32).astype(x.dtype)
+    a2 = jnp.dot(x, layer["mlp_w2"], preferred_element_type=jnp.float32).astype(x.dtype)
+    inter = a1 * jax.nn.silu(a2.astype(jnp.float32)).astype(x.dtype)
+    return jnp.dot(inter, layer["mlp_proj_w"],
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def block(x: jnp.ndarray, layer: dict, cfg: QwenVLConfig,
+          cos: jnp.ndarray, sin: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    x = x + attention(rms_norm(x, layer["ln_1"], cfg.layer_norm_eps),
+                      layer, cfg, cos, sin, mask)
+    x = x + mlp(rms_norm(x, layer["ln_2"], cfg.layer_norm_eps), layer)
+    return x
+
+
+def causal_mask(attn_mask: jnp.ndarray) -> jnp.ndarray:
+    """attn_mask [B, T] (1 = real token) -> additive mask [B, 1, T, T]."""
+    t = attn_mask.shape[-1]
+    causal = jnp.tril(jnp.ones((t, t), dtype=bool))
+    keyed = causal[None, :, :] & (attn_mask[:, None, :] > 0)
+    return jnp.where(keyed, 0.0, -1e30)[:, None, :, :].astype(jnp.float32)
+
+
+def decoder_capture(stacked_layers: dict, x: jnp.ndarray, cfg: QwenVLConfig,
+                    attn_mask: jnp.ndarray,
+                    last_token_idx: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Run all blocks via scan; return (final hidden [B, T, H],
+    capture [n_layers, B, H] of the last-token vector after each block)."""
+    b, t, _ = x.shape
+    positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
+    cos, sin = rotary_cos_sin(positions, cfg.head_dim, cfg.rope_base)
+    mask = causal_mask(attn_mask)
+    # one-hot contraction instead of a batched gather: identical result,
+    # but shards cleanly over a dp-partitioned batch axis under GSPMD
+    # (advanced indexing across a sharded axis lowers poorly).
+    sel = jax.nn.one_hot(last_token_idx, t, dtype=x.dtype)  # [B, T]
+
+    def step(h, layer):
+        h = block(h, layer, cfg, cos, sin, mask)
+        return h, jnp.einsum("bt,bth->bh", sel, h,
+                             preferred_element_type=jnp.float32).astype(h.dtype)
+
+    final, capture = jax.lax.scan(step, x, stacked_layers)
+    return final, capture
+
+
+def decoder(stacked_layers: dict, x: jnp.ndarray, cfg: QwenVLConfig,
+            attn_mask: jnp.ndarray) -> jnp.ndarray:
+    """Plain depth scan without capture (training / generation path)."""
+    b, t, _ = x.shape
+    positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
+    cos, sin = rotary_cos_sin(positions, cfg.head_dim, cfg.rope_base)
+    mask = causal_mask(attn_mask)
+
+    def step(h, layer):
+        return block(h, layer, cfg, cos, sin, mask), None
+
+    final, _ = jax.lax.scan(step, x, stacked_layers)
+    return final

@@ -1,0 +1,15 @@
+"""Device mesh, sharding rules, and the training step.
+
+The reference has NO distributed backend (SURVEY §2.3, §5: its only
+multi-device mechanism is HF Accelerate's ``device_map="auto"`` layer
+placement).  tdax's equivalent is the TPU-native stack: a
+``jax.sharding.Mesh`` over ICI, NamedSharding rules (data-parallel over
+samples, Megatron-style tensor-parallel over heads/FFN), and XLA
+collectives inserted by GSPMD — no NCCL/MPI analogue is needed.
+"""
+
+from tdax.parallel.mesh import make_mesh, param_sharding_rules, shard_params
+from tdax.parallel.train import lm_loss, make_train_step
+
+__all__ = ["make_mesh", "param_sharding_rules", "shard_params",
+           "lm_loss", "make_train_step"]

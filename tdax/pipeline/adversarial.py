@@ -131,6 +131,12 @@ def run_adversarial_sweep(all_data: dict[str, dict], output_dir: str,
     cfg = cfg or SweepConfig()
     ensure_dir(os.path.join(output_dir, "comparison"))
 
+    first = next(iter(all_data.values()))
+    n_avail = len(first["activations"])
+    if n_avail < cfg.n_layers:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, n_layers=n_avail)
+
     n_per_condition: dict[str, int] = {}
     condition_stats: dict[str, list[dict]] = {}
     for condition in CONDITIONS:

@@ -1,0 +1,146 @@
+"""Batched activation extraction on TPU.
+
+TPU-native successor of the reference's hook-based extractors
+(extract_activations.py, extract_adversarial_activations.py): instead
+of a serial batch-1 Python loop with 32 forward hooks copying full
+hidden states to host per sample (SURVEY §3.2), tdax runs ONE jitted
+batched forward per batch that returns [n_layers, batch, hidden]
+last-token activations straight from HBM, data-parallel over the device
+mesh.
+
+Checkpoint/resume keeps the reference's crash-recovery contract
+(extract_adversarial_activations.py:58-83,150-168): results accumulate
+in a ``.tmp`` checkpoint every ``save_interval`` samples, a restart
+skips already-done sample ids, and the temp file is removed after the
+final save.  Checkpointing is at batch granularity (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import numpy as np
+
+from tdax.config import ExtractConfig
+from tdax.data.io import save_activations, save_activations_npz, load_activations_npz
+from tdax.models.qwen_vl import QwenVLConfig, extract_layer_activations, init_params
+from tdax.models.qwen_vl.preprocess import load_image_batch
+from tdax.models.qwen_vl.tokenizer import batch_encode, get_tokenizer
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _dp_sharding(n_batch: int):
+    """NamedSharding over a 1-d data-parallel mesh when it divides the
+    batch; replicated otherwise."""
+    devices = jax.devices()
+    if len(devices) > 1 and n_batch % len(devices) == 0:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        mesh = Mesh(np.array(devices), ("dp",))
+        return NamedSharding(mesh, P("dp")), NamedSharding(mesh, P())
+    return None, None
+
+
+def load_or_init_params(model_dir: str | None, cfg: QwenVLConfig,
+                        seed: int = 0) -> dict:
+    """Converted checkpoint when available, random init otherwise."""
+    if model_dir and os.path.isdir(model_dir) and any(
+            f.endswith((".bin", ".safetensors")) for f in os.listdir(model_dir)):
+        from tdax.models.qwen_vl.convert import load_qwen_checkpoint
+        return load_qwen_checkpoint(model_dir, cfg)
+    return init_params(jax.random.PRNGKey(seed), cfg)
+
+
+def extract_activations(metadata: list[dict], output_path: str,
+                        cfg: QwenVLConfig | None = None,
+                        extract_cfg: ExtractConfig | None = None,
+                        params: dict | None = None,
+                        tokenizer=None,
+                        verbose: bool = True) -> dict:
+    """Run extraction over metadata samples; returns the nested-dict
+    results and writes output_path (.pt and a sibling .npz)."""
+    cfg = cfg or QwenVLConfig()
+    extract_cfg = extract_cfg or ExtractConfig()
+    tokenizer = tokenizer or get_tokenizer(extract_cfg.model_dir, cfg)
+    if params is None:
+        params = load_or_init_params(extract_cfg.model_dir, cfg)
+    params = jax.device_put(params)
+
+    tmp_path = output_path + ".tmp"
+    done_acts: np.ndarray | None = None
+    done_ids: list[str] = []
+    if os.path.exists(tmp_path):
+        try:
+            done_acts, done_ids, _ = load_activations_npz(tmp_path)
+            if verbose:
+                print(f"Found existing checkpoint, resuming... "
+                      f"({len(done_ids)} samples done)")
+        except Exception as e:
+            print(f"Warning: Could not load checkpoint: {e}. Starting fresh.")
+            done_ids = []
+
+    todo = [m for m in metadata if m["id"] not in set(done_ids)]
+    bs = extract_cfg.batch_size
+
+    # one static sequence length for the whole run -> single compile
+    probe = batch_encode(tokenizer, metadata, cfg)
+    max_len = _round_up(probe["input_ids"].shape[1] + 1, 64)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(p, ids, mask, last_idx, images, img_pos):
+        return extract_layer_activations(p, cfg, ids, mask, last_idx,
+                                         images, img_pos)
+
+    dp_shard, _ = _dp_sharding(bs)
+
+    collected_ids = list(done_ids)
+    collected: list[np.ndarray] = [] if done_acts is None else [done_acts]
+    since_save = 0
+    for start in range(0, len(todo), bs):
+        chunk = todo[start:start + bs]
+        pad_to = bs if len(chunk) == bs else len(chunk)
+        batch = batch_encode(tokenizer, chunk, cfg, max_len=max_len)
+        images = load_image_batch(batch["image_paths"], cfg.visual.image_size)
+
+        args = [np.asarray(batch["input_ids"]), np.asarray(batch["attn_mask"]),
+                np.asarray(batch["last_token_idx"]),
+                images.astype(np.float32), np.asarray(batch["image_positions"])]
+        if dp_shard is not None and pad_to == bs:
+            args = [jax.device_put(a, dp_shard) for a in args]
+        acts = np.asarray(run(params, *args), dtype=np.float32)  # [L, b, H]
+
+        collected.append(acts)
+        collected_ids.extend(m["id"] for m in chunk)
+        since_save += len(chunk)
+        if verbose:
+            print(f"  extracted {len(collected_ids)}/{len(metadata)}", flush=True)
+
+        if since_save >= extract_cfg.save_interval:
+            all_acts = np.concatenate(collected, axis=1)
+            save_activations_npz(tmp_path, all_acts, collected_ids, metadata)
+            collected = [all_acts]
+            since_save = 0
+            if verbose:
+                print(f"Checkpoint: Saving {len(collected_ids)} samples...")
+
+    all_acts = np.concatenate(collected, axis=1) if collected else np.zeros(
+        (cfg.num_layers, 0, cfg.hidden_size), np.float32)
+
+    if len(collected_ids):
+        save_activations(output_path, all_acts, collected_ids, metadata)
+        save_activations_npz(output_path.rsplit(".", 1)[0] + ".npz",
+                             all_acts, collected_ids, metadata)
+        if os.path.exists(tmp_path):
+            os.remove(tmp_path)
+        if verbose:
+            print(f"Extracted activations for {len(collected_ids)} samples. "
+                  f"Saved to {output_path}")
+    meta_by_id = {m["id"]: m for m in metadata}
+    return {sid: {"metadata": meta_by_id[sid],
+                  "activations": {f"layer_{i}": all_acts[i, j]
+                                  for i in range(all_acts.shape[0])}}
+            for j, sid in enumerate(collected_ids)}

@@ -102,6 +102,16 @@ def run_tda_sweep(all_data: dict[str, dict], metadata_path: str,
     metadata = load_metadata(metadata_path)
     metadata_map = {m["id"]: m for m in metadata}
 
+    # autodetect layer count when the data has fewer than configured
+    # (e.g. the toy model) — the reference hardcodes 32 (:22)
+    first = next(iter(all_data.values()))
+    n_avail = len(first["activations"])
+    if n_avail < cfg.n_layers:
+        if verbose:
+            print(f"[tdax] data has {n_avail} layers (config: {cfg.n_layers}); "
+                  f"using {n_avail}")
+        cfg = __import__("dataclasses").replace(cfg, n_layers=n_avail)
+
     clouds, sample_ids = activations_to_layer_clouds(
         all_data, cfg.n_layers, point_cloud_type=cfg.point_cloud_type)
     color_labels = [metadata_map[i]["color"] for i in sample_ids]

@@ -1,0 +1,90 @@
+"""Mesh/sharding/train-step tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tdax.models.qwen_vl import QwenVLConfig, forward, init_params
+from tdax.models.qwen_vl.model import extract_layer_activations
+from tdax.parallel import make_mesh, make_train_step, param_sharding_rules, shard_params
+from tdax.parallel.mesh import batch_sharding
+from tdax.parallel.train import default_optimizer, lm_loss
+
+CFG = QwenVLConfig.tiny(dtype="float32")
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(dp=2, tp=4)
+    assert mesh.shape == {"dp": 2, "tp": 4}
+    with pytest.raises(ValueError):
+        make_mesh(dp=3, tp=3)
+
+
+def test_sharded_forward_matches_single_device():
+    mesh = make_mesh(dp=2, tp=4)
+    params = init_params(jax.random.PRNGKey(0), CFG, with_visual=False)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, CFG.vocab_size, (4, 16)).astype(np.int32))
+    mask = jnp.ones_like(ids)
+
+    ref = np.asarray(forward(params, CFG, ids, mask))
+
+    sharded = shard_params(params, mesh, param_sharding_rules(with_visual=False))
+    ids_s = jax.device_put(ids, batch_sharding(mesh))
+    mask_s = jax.device_put(mask, batch_sharding(mesh))
+    out = np.asarray(jax.jit(lambda p, i, m: forward(p, CFG, i, m))(sharded, ids_s, mask_s))
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=5e-3)
+
+
+def test_sharded_capture_matches_single_device():
+    mesh = make_mesh(dp=4, tp=2)
+    params = init_params(jax.random.PRNGKey(1), CFG, with_visual=False)
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(1, CFG.vocab_size, (8, 12)).astype(np.int32))
+    mask = jnp.ones_like(ids)
+    last = jnp.asarray(np.full(8, 11, np.int32))
+
+    ref = np.asarray(extract_layer_activations(params, CFG, ids, mask, last))
+    sharded = shard_params(params, mesh, param_sharding_rules(with_visual=False))
+    out = np.asarray(jax.jit(
+        lambda p, i, m, l: extract_layer_activations(p, CFG, i, m, l))(
+        sharded,
+        jax.device_put(ids, batch_sharding(mesh)),
+        jax.device_put(mask, batch_sharding(mesh)),
+        jax.device_put(last, batch_sharding(mesh))))
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=5e-3)
+
+
+def test_train_step_runs_and_reduces_loss():
+    mesh = make_mesh(dp=2, tp=4)
+    params = init_params(jax.random.PRNGKey(2), CFG, with_visual=False)
+    params = shard_params(params, mesh, param_sharding_rules(with_visual=False))
+    opt = default_optimizer(1e-3)
+    opt_state = opt.init(params)
+    step = make_train_step(CFG, opt)
+
+    rng = np.random.default_rng(2)
+    ids = rng.integers(1, 64, (4, 16)).astype(np.int32)  # small vocab slice -> learnable
+    batch = {
+        "input_ids": jax.device_put(jnp.asarray(ids), batch_sharding(mesh)),
+        "attn_mask": jax.device_put(jnp.ones((4, 16), jnp.int32), batch_sharding(mesh)),
+    }
+    losses = []
+    for _ in range(8):
+        params, opt_state, loss = step(params, opt_state, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9  # memorizing a fixed batch
+
+
+def test_lm_loss_masking():
+    params = init_params(jax.random.PRNGKey(3), CFG, with_visual=False)
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(1, CFG.vocab_size, (2, 10)).astype(np.int32))
+    full = jnp.ones((2, 10), jnp.int32)
+    half = full.at[:, 5:].set(0)
+    l_full = float(lm_loss(params, CFG, ids, full))
+    l_half = float(lm_loss(params, CFG, ids, half))
+    assert np.isfinite(l_full) and np.isfinite(l_half)
+    assert abs(l_full - l_half) > 1e-6  # mask actually changes the loss
