@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Scale benchmark: BASELINE.json configs[4] — 10k-point clouds, H2
+persistence, raw 4096-d embeddings (no UMAP).
+
+Distance matrix on TPU (Pallas tiles / shard_map row-blocks), H0 on TPU
+(Boruvka), H1/H2 in the native engine under a threshold (at 10k points
+a threshold is how VR-H2 is done anywhere: the full complex has ~1.7e11
+triangles).  Data is a 6-cluster mixture (matching the workload's
+structure) with the threshold set to the intra-cluster scale.
+
+Usage: python bench_scale.py [n_points] [maxdim] [thresh]
+Prints one JSON line per stage plus a summary line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    from tdax.utils import setup_runtime
+
+    setup_runtime()
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
+    maxdim = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    d = 4096
+
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(6, d)) * 2.0
+    x = (centers[rng.integers(0, 6, n)] + rng.normal(0, 0.05, (n, d))).astype(np.float32)
+    # intra-cluster scale: points within a cluster are ~ 0.05*sqrt(2d) apart
+    thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 0.05 * np.sqrt(2 * d) * 1.5
+
+    from tdax.pipeline.scale import distance_matrix_tpu, rips_at_scale
+    from tdax.ops.rips.mst import h0_diagram_tpu
+
+    t0 = time.time()
+    dist = distance_matrix_tpu(x)
+    t_dist = time.time() - t0
+    print(json.dumps({"stage": "distance_matrix", "n": n, "dim": d,
+                      "value": round(t_dist, 2), "unit": "s"}))
+
+    t0 = time.time()
+    dgm0 = h0_diagram_tpu(dist, thresh)
+    t_h0 = time.time() - t0
+    print(json.dumps({"stage": "h0_boruvka_tpu", "bars": int(len(dgm0)),
+                      "value": round(t_h0, 2), "unit": "s"}))
+
+    from tdax.ops.rips import rips_from_distances
+    t0 = time.time()
+    dgms = rips_from_distances(dist, maxdim=maxdim, thresh=thresh)["dgms"]
+    t_ph = time.time() - t0
+    print(json.dumps({"stage": f"h1_h{maxdim}_native", "value": round(t_ph, 2),
+                      "unit": "s", "bars": [int(len(g)) for g in dgms]}))
+
+    print(json.dumps({"metric": f"rips_scale_{n}pts_maxdim{maxdim}",
+                      "value": round(t_dist + t_h0 + t_ph, 2), "unit": "s",
+                      "vs_baseline": None}))
+
+
+if __name__ == "__main__":
+    main()

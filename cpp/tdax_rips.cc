@@ -323,7 +323,24 @@ class RipsEngine {
 
   // --- reduction ----------------------------------------------------------------
 
-  using Heap = std::priority_queue<DiamIdx, std::vector<DiamIdx>, HeapGreater>;
+  // Working column: a binary min-heap over a reusable flat buffer
+  // (std::make_heap/push_heap/pop_heap keep capacity across columns).
+  struct Heap {
+    std::vector<DiamIdx> buf;
+    void clear() { buf.clear(); }
+    void push(const DiamIdx& e) {
+      buf.push_back(e);
+      std::push_heap(buf.begin(), buf.end(), HeapGreater{});
+    }
+    void append(const DiamIdx& e) { buf.push_back(e); }  // pre-heapify only
+    void heapify() { std::make_heap(buf.begin(), buf.end(), HeapGreater{}); }
+    bool empty() const { return buf.empty(); }
+    DiamIdx top() const { return buf.front(); }
+    void pop() {
+      std::pop_heap(buf.begin(), buf.end(), HeapGreater{});
+      buf.pop_back();
+    }
+  };
 
   static bool pop_pivot(Heap& heap, DiamIdx& out) {
     while (!heap.empty()) {
@@ -355,28 +372,24 @@ class RipsEngine {
 #ifdef TDAX_DEBUG_STAGE
       TDAX_DEBUG_STAGE("column start");
 #endif
-      while (!heap.empty()) heap.pop();
 
-      // Initial enumeration with emergent-pair shortcut: cofacets arrive
+      // Phase 1 — emergent-pair probe, zero heap work: cofacets arrive
       // in ascending colex order, so the FIRST one with diam == col.diam
       // is the minimal (diam, idx) entry of the raw column (all cofacet
-      // diameters are >= col.diam).  Only that first one qualifies: if it
-      // is already owned, the shortcut is dead — the column must be
-      // reduced in full starting from that owned minimal pivot.
+      // diameters are >= col.diam).  If it is unowned it IS the final
+      // pivot and the column is done without materializing anything.
+      // Only that first one qualifies: if owned, the shortcut is dead
+      // and the column is reduced in full.
       bool emergent = false;
-      bool shortcut_alive = true;
       index_t emergent_idx = -1;
       enumerate_cofacets(col.idx, col.diam, p, [&](value_t diam, index_t cidx) {
-        if (diam > thresh_) return true;
-        if (shortcut_alive && diam == col.diam) {
-          shortcut_alive = false;  // only the first equal-diam cofacet counts
+        if (diam == col.diam) {
           if (pivots.find(cidx) < 0) {
             emergent = true;
             emergent_idx = cidx;
-            return false;  // stop enumeration — pivot found
           }
+          return false;  // first equal-diam cofacet settles the question
         }
-        heap.push({diam, cidx});
         return true;
       });
 
@@ -385,6 +398,15 @@ class RipsEngine {
         pivots.insert(emergent_idx, static_cast<int64_t>(v_columns.size() - 1));
         continue;  // death == birth: no bar emitted
       }
+
+      // Phase 2 — full reduction: materialize the coboundary once,
+      // heapify in O(k).
+      heap.clear();
+      enumerate_cofacets(col.idx, col.diam, p, [&](value_t diam, index_t cidx) {
+        if (diam <= thresh_) heap.append({diam, cidx});
+        return true;
+      });
+      heap.heapify();
 
       std::vector<DiamIdx> v_col{col};
       long dbg_iters = 0;
@@ -409,9 +431,10 @@ class RipsEngine {
           break;
         }
         // add owner's column: re-push pivot (cancels with owner's copy),
-        // then expand the owner's V-column coboundaries.
+        // then expand the owner's V-column coboundaries.  Reference is
+        // safe: v_columns only grows at claim time, never mid-expansion.
         heap.push(pivot);
-        const std::vector<DiamIdx> owner_col = v_columns[owner];  // copy: v_col may realloc
+        const std::vector<DiamIdx>& owner_col = v_columns[owner];
         for (const DiamIdx& s : owner_col) {
           v_col.push_back(s);
           enumerate_cofacets(s.idx, s.diam, p, [&](value_t diam, index_t cidx) {

@@ -1,0 +1,107 @@
+"""Scale-path kernels: Pallas distances (interpret on CPU), Boruvka H0,
+shard_map row-block distances/kNN on the 8-device mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tdax.ops.distances import pairwise_euclidean_np
+from tdax.ops.pallas_distances import pairwise_sq_euclidean_pallas
+from tdax.ops.rips.mst import boruvka_mst_weights, h0_diagram_tpu
+from tdax.ops.rips.reference import rips_reference
+from tdax.parallel import make_mesh
+from tdax.parallel.sharded_ops import sharded_knn, sharded_pairwise_sq_euclidean
+
+
+@pytest.mark.parametrize("n,d", [(36, 3), (100, 17), (130, 257)])
+def test_pallas_sqdist_matches_numpy(n, d):
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    ref = pairwise_euclidean_np(x) ** 2
+    out = np.asarray(pairwise_sq_euclidean_pallas(jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_boruvka_matches_unionfind_h0(seed):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(50, 4))
+    dist = pairwise_euclidean_np(x)
+    dgm0_ref = rips_reference(dist, maxdim=0)[0]
+    dgm0_tpu = h0_diagram_tpu(dist)
+    ref_fin = np.sort(dgm0_ref[np.isfinite(dgm0_ref[:, 1]), 1])
+    tpu_fin = np.sort(dgm0_tpu[np.isfinite(dgm0_tpu[:, 1]), 1])
+    np.testing.assert_allclose(tpu_fin, ref_fin, rtol=1e-6)
+    assert np.isinf(dgm0_tpu[:, 1]).sum() == np.isinf(dgm0_ref[:, 1]).sum() == 1
+
+
+def test_boruvka_disconnected_threshold():
+    x = np.array([[0, 0], [1, 0], [10, 0], [11, 0]], float)
+    dist = pairwise_euclidean_np(x)
+    w = boruvka_mst_weights(dist, thresh=2.0)
+    assert np.isfinite(w).sum() == 2  # two intra-pair edges
+    dgm0 = h0_diagram_tpu(dist, thresh=2.0)
+    assert np.isinf(dgm0[:, 1]).sum() == 2  # two components
+
+
+def test_boruvka_duplicate_points():
+    x = np.array([[0, 0], [0, 0], [3, 0]], float)
+    dist = pairwise_euclidean_np(x)
+    dgm0 = h0_diagram_tpu(dist)
+    # zero-weight merge is dropped (ripser behavior), one finite bar at 3
+    fin = dgm0[np.isfinite(dgm0[:, 1])]
+    np.testing.assert_allclose(fin, [[0.0, 3.0]])
+
+
+def test_sharded_sqdist_matches_dense():
+    mesh = make_mesh(dp=8, tp=1)
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(64, 32)).astype(np.float32)
+    out = np.asarray(sharded_pairwise_sq_euclidean(jnp.asarray(x), mesh))
+    ref = pairwise_euclidean_np(x) ** 2
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_knn_matches_sklearn():
+    mesh = make_mesh(dp=8, tp=1)
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(64, 16)).astype(np.float32)
+    idx, dists = sharded_knn(jnp.asarray(x), 5, mesh)
+    from sklearn.neighbors import NearestNeighbors
+    nn = NearestNeighbors(n_neighbors=5).fit(x)
+    skl_d, _ = nn.kneighbors(x)
+    np.testing.assert_allclose(dists, skl_d, atol=1e-4)
+    assert (idx[:, 0] == np.arange(64)).all()
+
+
+def test_rips_at_scale_matches_reference():
+    from tdax.pipeline.scale import rips_at_scale
+    rng = np.random.default_rng(5)
+    # two gaussian clusters; threshold keeps intra-cluster simplices only
+    x = np.concatenate([rng.normal(0, 0.5, (30, 8)),
+                        rng.normal(4, 0.5, (30, 8))]).astype(np.float32)
+    out = rips_at_scale(x, maxdim=1, thresh=2.5)["dgms"]
+    dist = pairwise_euclidean_np(x)
+    ref = rips_reference(dist.astype(np.float32).astype(np.float64),
+                         maxdim=1, thresh=2.5)
+    # H0 from the on-device Boruvka path
+    np.testing.assert_allclose(
+        np.sort(out[0][np.isfinite(out[0][:, 1]), 1]),
+        np.sort(ref[0][np.isfinite(ref[0][:, 1]), 1]), rtol=1e-4)
+    assert np.isinf(out[0][:, 1]).sum() == np.isinf(ref[0][:, 1]).sum() == 2
+    # H1 from the native engine on the TPU-computed distances
+    np.testing.assert_allclose(np.sort(out[1], axis=0), np.sort(ref[1], axis=0),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_rips_at_scale_with_mesh():
+    from tdax.pipeline.scale import rips_at_scale
+    mesh = make_mesh(dp=8, tp=1)
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(64, 16)).astype(np.float32)
+    out = rips_at_scale(x, maxdim=1, mesh=mesh)["dgms"]
+    dist = pairwise_euclidean_np(x)
+    ref = rips_reference(dist.astype(np.float32).astype(np.float64), maxdim=1)
+    np.testing.assert_allclose(np.sort(out[1], axis=0), np.sort(ref[1], axis=0),
+                               rtol=1e-4, atol=1e-4)
