@@ -206,4 +206,13 @@ def fit_transform_batched(clouds: np.ndarray, cfg: UMAPConfig | None = None,
             return emb
         return jax.vmap(one)(cs)
 
+    # shard the layer axis across the mesh when it divides evenly: on a
+    # v5e-8 each device embeds n_layers/8 clouds of the vmapped program
+    # in parallel (the 32-layer sweep's scale-out axis, SURVEY §3.3).
+    devices = jax.devices()
+    if len(devices) > 1 and n_layers % len(devices) == 0:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        mesh = Mesh(np.array(devices), ("layers",))
+        clouds = jax.device_put(clouds, NamedSharding(mesh, P("layers")))
+
     return np.asarray(run(clouds, jax.random.PRNGKey(cfg.random_state)))
