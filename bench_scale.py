@@ -27,11 +27,18 @@ def main() -> None:
     maxdim = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     d = 4096
 
+    # data on a low-dimensional manifold (3-sphere) embedded in 4096-d:
+    # high-dim gaussian mixtures concentrate all pairwise distances into a
+    # razor-thin band (any threshold is all-or-nothing, and "all" means
+    # ~5e9 triangles); a manifold spreads distances so a degree-targeted
+    # threshold yields a sparse complex with real H1/H2 topology —
+    # the regime VR-at-scale is actually used in.
     rng = np.random.default_rng(42)
-    centers = rng.normal(size=(6, d)) * 2.0
-    x = (centers[rng.integers(0, 6, n)] + rng.normal(0, 0.05, (n, d))).astype(np.float32)
-    # intra-cluster scale: points within a cluster are ~ 0.05*sqrt(2d) apart
-    thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 0.05 * np.sqrt(2 * d) * 1.5
+    z = rng.normal(size=(n, 4))
+    z /= np.linalg.norm(z, axis=1, keepdims=True)
+    proj = rng.normal(size=(4, d)) / np.sqrt(4)
+    x = (z @ proj + rng.normal(0, 1e-3, (n, d))).astype(np.float32)
+    target_degree = float(sys.argv[3]) if len(sys.argv) > 3 else 40.0
 
     from tdax.pipeline.scale import distance_matrix_tpu, rips_at_scale
     from tdax.ops.rips.mst import h0_diagram_tpu
@@ -41,6 +48,11 @@ def main() -> None:
     t_dist = time.time() - t0
     print(json.dumps({"stage": "distance_matrix", "n": n, "dim": d,
                       "value": round(t_dist, 2), "unit": "s"}))
+
+    # threshold at the distance quantile giving ~target_degree neighbors
+    thresh = float(np.quantile(dist, target_degree / n))
+    print(json.dumps({"stage": "threshold", "value": round(thresh, 4),
+                      "target_degree": target_degree}))
 
     t0 = time.time()
     dgm0 = h0_diagram_tpu(dist, thresh)

@@ -36,13 +36,13 @@ def _round_up(x: int, m: int) -> int:
 
 def _dp_sharding(n_batch: int):
     """NamedSharding over a 1-d data-parallel mesh when it divides the
-    batch; replicated otherwise."""
+    batch; None (single-device / replicated) otherwise."""
     devices = jax.devices()
     if len(devices) > 1 and n_batch % len(devices) == 0:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
         mesh = Mesh(np.array(devices), ("dp",))
-        return NamedSharding(mesh, P("dp")), NamedSharding(mesh, P())
-    return None, None
+        return NamedSharding(mesh, P("dp"))
+    return None
 
 
 def load_or_init_params(model_dir: str | None, cfg: QwenVLConfig,
@@ -95,21 +95,20 @@ def extract_activations(metadata: list[dict], output_path: str,
         return extract_layer_activations(p, cfg, ids, mask, last_idx,
                                          images, img_pos)
 
-    dp_shard, _ = _dp_sharding(bs)
+    dp_shard = _dp_sharding(bs)
 
     collected_ids = list(done_ids)
     collected: list[np.ndarray] = [] if done_acts is None else [done_acts]
     since_save = 0
     for start in range(0, len(todo), bs):
         chunk = todo[start:start + bs]
-        pad_to = bs if len(chunk) == bs else len(chunk)
         batch = batch_encode(tokenizer, chunk, cfg, max_len=max_len)
         images = load_image_batch(batch["image_paths"], cfg.visual.image_size)
 
         args = [np.asarray(batch["input_ids"]), np.asarray(batch["attn_mask"]),
                 np.asarray(batch["last_token_idx"]),
                 images.astype(np.float32), np.asarray(batch["image_positions"])]
-        if dp_shard is not None and pad_to == bs:
+        if dp_shard is not None and len(chunk) == bs:
             args = [jax.device_put(a, dp_shard) for a in args]
         acts = np.asarray(run(params, *args), dtype=np.float32)  # [L, b, H]
 
