@@ -5,10 +5,12 @@ persistence, raw 4096-d embeddings (no UMAP).
 Distance matrix on TPU (Pallas tiles / shard_map row-blocks), H0 on TPU
 (Boruvka), H1/H2 in the native engine under a threshold (at 10k points
 a threshold is how VR-H2 is done anywhere: the full complex has ~1.7e11
-triangles).  Data is a 6-cluster mixture (matching the workload's
-structure) with the threshold set to the intra-cluster scale.
+triangles).  Data lies on a 3-sphere embedded in 4096-d (a high-dim
+gaussian mixture concentrates all distances into a razor-thin band, so
+no threshold is meaningful there); the threshold is picked so each
+point has ~target_degree neighbors.
 
-Usage: python bench_scale.py [n_points] [maxdim] [thresh]
+Usage: python bench_scale.py [n_points] [maxdim] [target_degree]
 Prints one JSON line per stage plus a summary line.
 """
 
@@ -27,20 +29,15 @@ def main() -> None:
     maxdim = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     d = 4096
 
-    # data on a low-dimensional manifold (3-sphere) embedded in 4096-d:
-    # high-dim gaussian mixtures concentrate all pairwise distances into a
-    # razor-thin band (any threshold is all-or-nothing, and "all" means
-    # ~5e9 triangles); a manifold spreads distances so a degree-targeted
-    # threshold yields a sparse complex with real H1/H2 topology —
-    # the regime VR-at-scale is actually used in.
+    # see module docstring for the manifold-data rationale
     rng = np.random.default_rng(42)
     z = rng.normal(size=(n, 4))
     z /= np.linalg.norm(z, axis=1, keepdims=True)
     proj = rng.normal(size=(4, d)) / np.sqrt(4)
     x = (z @ proj + rng.normal(0, 1e-3, (n, d))).astype(np.float32)
-    target_degree = float(sys.argv[3]) if len(sys.argv) > 3 else 40.0
+    target_degree = min(int(sys.argv[3]) if len(sys.argv) > 3 else 40, n - 1)
 
-    from tdax.pipeline.scale import distance_matrix_tpu, rips_at_scale
+    from tdax.pipeline.scale import distance_matrix_tpu
     from tdax.ops.rips.mst import h0_diagram_tpu
 
     t0 = time.time()
@@ -49,10 +46,17 @@ def main() -> None:
     print(json.dumps({"stage": "distance_matrix", "n": n, "dim": d,
                       "value": round(t_dist, 2), "unit": "s"}))
 
-    # threshold at the distance quantile giving ~target_degree neighbors
-    thresh = float(np.quantile(dist, target_degree / n))
+    # threshold giving ~target_degree neighbors per point: median over a
+    # row sample of each row's target_degree-th smallest distance (index
+    # target_degree skips the self-zero at index 0 — no full-matrix sort)
+    t0 = time.time()
+    sample = rng.choice(n, size=min(512, n), replace=False)
+    kth = np.partition(dist[sample], target_degree, axis=1)[:, target_degree]
+    thresh = float(np.median(kth))
+    t_thresh = time.time() - t0
     print(json.dumps({"stage": "threshold", "value": round(thresh, 4),
-                      "target_degree": target_degree}))
+                      "target_degree": target_degree,
+                      "select_time_s": round(t_thresh, 2)}))
 
     t0 = time.time()
     dgm0 = h0_diagram_tpu(dist, thresh)
@@ -68,8 +72,8 @@ def main() -> None:
                       "unit": "s", "bars": [int(len(g)) for g in dgms]}))
 
     print(json.dumps({"metric": f"rips_scale_{n}pts_maxdim{maxdim}",
-                      "value": round(t_dist + t_h0 + t_ph, 2), "unit": "s",
-                      "vs_baseline": None}))
+                      "value": round(t_dist + t_thresh + t_h0 + t_ph, 2),
+                      "unit": "s", "vs_baseline": None}))
 
 
 if __name__ == "__main__":
