@@ -24,6 +24,9 @@
 // writes malloc'd records (dim, birth, death)*; tdax_free releases.
 
 #include <algorithm>
+#ifdef TDAX_PROF
+#include <chrono>
+#endif
 #include <cmath>
 #include <functional>
 #include <cstdint>
@@ -215,14 +218,20 @@ class RipsEngine {
   }
 
   void decode(index_t idx, int dim, index_t* verts) const {
-    // verts filled descending: verts[0] = largest vertex
-    index_t v = n_ - 1;
+    // verts filled descending: verts[0] = largest vertex.  Binary search
+    // for the largest v with binom(v, k) <= idx (binom is monotone in v)
+    // — the naive downward scan is O(n) per vertex and dominated the
+    // whole engine at n >= 4k.
+    index_t hi = n_ - 1;
     for (int k = dim + 1; k > 0; --k) {
-      // largest v with binom(v, k) <= idx
-      while (binom_(v, k) > idx) --v;
-      verts[dim + 1 - k] = v;
-      idx -= binom_(v, k);
-      --v;
+      index_t lo = k - 1;  // binom(k-1, k) == 0 <= idx always holds
+      while (lo < hi) {
+        index_t mid = (lo + hi + 1) >> 1;
+        if (binom_(mid, k) <= idx) lo = mid; else hi = mid - 1;
+      }
+      verts[dim + 1 - k] = lo;
+      idx -= binom_(lo, k);
+      hi = lo - 1;
     }
   }
 
@@ -321,6 +330,36 @@ class RipsEngine {
     }
   }
 
+  // Fast phase-1 probe: find the FIRST (ascending w == ascending colex)
+  // cofacet with diameter equal to the simplex diameter, touching only
+  // the p+1 contiguous distance rows — no bitsets, no per-w encode.
+  // Returns 0 = none exists, 1 = emergent (unowned; *out_idx set),
+  // 2 = owned (full reduction required).
+  int probe_emergent(index_t idx, value_t diam, int p,
+                     const PivotMap& pivots, index_t* out_idx) const {
+    index_t verts[4];
+    decode(idx, p, verts);
+    const value_t* rows[4];
+    for (int i = 0; i <= p; ++i) rows[i] = dist_ + verts[i] * n_;
+    for (index_t w = 0; w < n_; ++w) {
+      value_t m = rows[0][w];
+      for (int i = 1; i <= p; ++i) m = std::max(m, rows[i][w]);
+      if (m > diam) continue;  // cofacet diam = max(diam, m) > diam
+      bool member = false;
+      for (int i = 0; i <= p; ++i) member |= (w == verts[i]);
+      if (member) continue;
+      index_t nv[5];
+      int pos = 0;
+      while (pos <= p && verts[pos] > w) { nv[pos] = verts[pos]; ++pos; }
+      nv[pos] = w;
+      for (int i = pos; i <= p; ++i) nv[i + 1] = verts[i];
+      index_t cidx = encode(nv, p + 2);
+      *out_idx = cidx;
+      return pivots.find(cidx) < 0 ? 1 : 2;
+    }
+    return 0;
+  }
+
   // --- reduction ----------------------------------------------------------------
 
   // Working column: a binary min-heap over a reusable flat buffer
@@ -380,18 +419,18 @@ class RipsEngine {
       // pivot and the column is done without materializing anything.
       // Only that first one qualifies: if owned, the shortcut is dead
       // and the column is reduced in full.
-      bool emergent = false;
       index_t emergent_idx = -1;
-      enumerate_cofacets(col.idx, col.diam, p, [&](value_t diam, index_t cidx) {
-        if (diam == col.diam) {
-          if (pivots.find(cidx) < 0) {
-            emergent = true;
-            emergent_idx = cidx;
-          }
-          return false;  // first equal-diam cofacet settles the question
-        }
-        return true;
-      });
+#ifdef TDAX_PROF
+      auto _t0 = std::chrono::steady_clock::now();
+#endif
+      bool emergent = probe_emergent(col.idx, col.diam, p, pivots,
+                                     &emergent_idx) == 1;
+#ifdef TDAX_PROF
+      prof_probe += std::chrono::duration<double>(
+          std::chrono::steady_clock::now() - _t0).count();
+      prof_cols += 1;
+      prof_emergent += emergent ? 1 : 0;
+#endif
 
       if (emergent) {
         v_columns.push_back({col});
@@ -401,12 +440,20 @@ class RipsEngine {
 
       // Phase 2 — full reduction: materialize the coboundary once,
       // heapify in O(k).
+#ifdef TDAX_PROF
+      auto _t1 = std::chrono::steady_clock::now();
+#endif
       heap.clear();
       enumerate_cofacets(col.idx, col.diam, p, [&](value_t diam, index_t cidx) {
         if (diam <= thresh_) heap.append({diam, cidx});
         return true;
       });
       heap.heapify();
+#ifdef TDAX_PROF
+      prof_phase2_init += std::chrono::duration<double>(
+          std::chrono::steady_clock::now() - _t1).count();
+      _t1 = std::chrono::steady_clock::now();
+#endif
 
       std::vector<DiamIdx> v_col{col};
       long dbg_iters = 0;
@@ -428,8 +475,15 @@ class RipsEngine {
           pivots.insert(pivot.idx, static_cast<int64_t>(v_columns.size() - 1));
           if (pivot.diam > col.diam)
             bars.push_back({static_cast<int32_t>(p), col.diam, pivot.diam});
+#ifdef TDAX_PROF
+          prof_reduce += std::chrono::duration<double>(
+              std::chrono::steady_clock::now() - _t1).count();
+#endif
           break;
         }
+#ifdef TDAX_PROF
+        prof_additions += 1;
+#endif
         // add owner's column: re-push pivot (cancels with owner's copy),
         // then expand the owner's V-column coboundaries.  Reference is
         // safe: v_columns only grows at claim time, never mid-expansion.
@@ -502,6 +556,13 @@ class RipsEngine {
     return out;
   }
 
+#ifdef TDAX_PROF
+ public:
+  double prof_probe = 0, prof_phase2_init = 0, prof_reduce = 0;
+  long prof_cols = 0, prof_emergent = 0, prof_additions = 0;
+
+ private:
+#endif
   const value_t* dist_;
   index_t n_;
   int maxdim_;
