@@ -119,17 +119,27 @@ def run_tda_sweep(all_data: dict[str, dict], metadata_path: str,
     if verbose:
         print(f"Found {len(sample_ids)} samples for type '{cfg.point_cloud_type}'")
 
+    import contextlib
     import time as _time
     _t = _time.time()
 
-    # 1) all layers embedded in one compiled program
-    clouds_3d = embed_layers(clouds, cfg).astype(np.float32)
-    if verbose:
-        print(f"[tdax] embed ({cfg.reducer_mode}): {_time.time() - _t:.1f}s", flush=True)
-    _t = _time.time()
+    # jax.profiler trace around the device stages (SURVEY §5) when asked
+    profile_ctx = contextlib.nullcontext()
+    if os.environ.get("TDAX_PROFILE"):
+        profile_ctx = jax.profiler.trace(os.environ.get(
+            "TDAX_PROFILE_DIR", "/tmp/tdax_trace"))
 
-    # 2) all silhouettes in one vmapped program per label set
-    sil = batched_silhouettes(clouds_3d, {"shape": shape_labels, "color": color_labels})
+    with profile_ctx:
+        # 1) all layers embedded in one compiled program
+        clouds_3d = embed_layers(clouds, cfg).astype(np.float32)
+        if verbose:
+            print(f"[tdax] embed ({cfg.reducer_mode}): {_time.time() - _t:.1f}s",
+                  flush=True)
+        _t = _time.time()
+
+        # 2) all silhouettes in one vmapped program per label set
+        sil = batched_silhouettes(clouds_3d, {"shape": shape_labels,
+                                              "color": color_labels})
     if verbose:
         print(f"[tdax] silhouettes: {_time.time() - _t:.1f}s", flush=True)
     _t = _time.time()
