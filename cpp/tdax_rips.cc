@@ -36,10 +36,22 @@
 #include <queue>
 #include <vector>
 
+// Value-type parameterization: the same TU compiles as the f64 engine
+// (default) or, with TDAX_VALUE_T/TDAX_ENTRY set, as the f32 engine
+// (cpp/tdax_rips_f32.cc).  The engine only compares and maxes distance
+// values — never rounds — so the f32 instantiation is exactly as
+// accurate on float32-derived inputs while halving memory traffic
+// (this box is single-core and bandwidth-bound).
+#ifndef TDAX_VALUE_T
+#define TDAX_VALUE_T double
+#define TDAX_ENTRY tdax_rips_dense
+#define TDAX_DEFINE_FREE 1
+#endif
+
 namespace {
 
 using index_t = int64_t;
-using value_t = double;
+using value_t = TDAX_VALUE_T;
 
 constexpr value_t kInf = std::numeric_limits<value_t>::infinity();
 
@@ -577,8 +589,8 @@ class RipsEngine {
 
 extern "C" {
 
-int tdax_rips_dense(const double* dist, int n, int maxdim, double thresh,
-                    double** out, long* out_len) {
+int TDAX_ENTRY(const value_t* dist, int n, int maxdim, double thresh,
+               double** out, long* out_len) {
   try {
     RipsEngine engine(dist, n, maxdim, thresh);
     std::vector<Bar> bars = engine.run();
@@ -597,6 +609,8 @@ int tdax_rips_dense(const double* dist, int n, int maxdim, double thresh,
   }
 }
 
+#ifdef TDAX_DEFINE_FREE
 void tdax_free(double* p) { free(p); }
+#endif
 
 }  // extern "C"

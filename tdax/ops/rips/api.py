@@ -24,7 +24,10 @@ def rips_from_distances(dist: np.ndarray, maxdim: int = 1,
                         backend: str = "auto") -> dict:
     if coeff != 2:
         raise NotImplementedError("only Z/2 coefficients are supported (ripser default)")
-    dist = np.ascontiguousarray(dist, dtype=np.float64)
+    # float32 inputs stay float32 (the native engine has an exact f32 path);
+    # everything else runs in float64
+    keep = np.float32 if np.asarray(dist).dtype == np.float32 else np.float64
+    dist = np.ascontiguousarray(dist, dtype=keep)
     if backend == "auto":
         backend = "native" if _native_available() else "python"
     if backend == "native":

@@ -29,6 +29,7 @@ def _build() -> bool:
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-march=native",
         "-o", _SO_PATH, _SRC_PATH,
+        os.path.join(_CPP_DIR, "tdax_rips_f32.cc"),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
@@ -47,21 +48,26 @@ def _load():
         if not os.path.exists(_SRC_PATH):
             _build_failed = True
             return None
+        src_mtime = max(os.path.getmtime(_SRC_PATH),
+                        os.path.getmtime(os.path.join(_CPP_DIR, "tdax_rips_f32.cc")))
         if (not os.path.exists(_SO_PATH)
-                or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC_PATH)):
+                or os.path.getmtime(_SO_PATH) < src_mtime):
             if not _build():
                 _build_failed = True
                 return None
         lib = ctypes.CDLL(_SO_PATH)
-        lib.tdax_rips_dense.restype = ctypes.c_int
-        lib.tdax_rips_dense.argtypes = [
-            ctypes.POINTER(ctypes.c_double),  # dist (n*n)
-            ctypes.c_int,                     # n
-            ctypes.c_int,                     # maxdim
-            ctypes.c_double,                  # thresh (inf -> enclosing radius)
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),  # out bars
-            ctypes.POINTER(ctypes.c_long),    # out n_bars (per dim offsets? flat)
-        ]
+        for name, in_t in (("tdax_rips_dense", ctypes.c_double),
+                           ("tdax_rips_dense_f32", ctypes.c_float)):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int
+            fn.argtypes = [
+                ctypes.POINTER(in_t),             # dist (n*n)
+                ctypes.c_int,                     # n
+                ctypes.c_int,                     # maxdim
+                ctypes.c_double,                  # thresh (inf -> enclosing radius)
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),  # out bars
+                ctypes.POINTER(ctypes.c_long),    # out record count
+            ]
         lib.tdax_free.restype = None
         lib.tdax_free.argtypes = [ctypes.POINTER(ctypes.c_double)]
         _lib = lib
@@ -74,15 +80,23 @@ def available() -> bool:
 
 def rips_native(dist: np.ndarray, maxdim: int = 1,
                 thresh: float = np.inf) -> list[np.ndarray]:
+    """Dispatches on dtype: float32 inputs use the f32 engine (exactly as
+    accurate on f32-derived distances — the engine never rounds — and
+    ~bandwidth-halved); anything else goes through the f64 engine."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native rips engine unavailable")
     n = dist.shape[0]
-    dist64 = np.ascontiguousarray(dist, dtype=np.float64)
+    if dist.dtype == np.float32:
+        buf = np.ascontiguousarray(dist, dtype=np.float32)
+        fn, ptr_t = lib.tdax_rips_dense_f32, ctypes.c_float
+    else:
+        buf = np.ascontiguousarray(dist, dtype=np.float64)
+        fn, ptr_t = lib.tdax_rips_dense, ctypes.c_double
     out_ptr = ctypes.POINTER(ctypes.c_double)()
     out_len = ctypes.c_long(0)
-    rc = lib.tdax_rips_dense(
-        dist64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    rc = fn(
+        buf.ctypes.data_as(ctypes.POINTER(ptr_t)),
         n, maxdim, float(thresh),
         ctypes.byref(out_ptr), ctypes.byref(out_len),
     )

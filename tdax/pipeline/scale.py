@@ -43,8 +43,10 @@ def distance_matrix_tpu(x: np.ndarray, mesh=None, use_pallas: bool = True) -> np
     else:
         from tdax.ops.distances import pairwise_euclidean
         d = pairwise_euclidean(xj)
-    d = np.asarray(d, dtype=np.float64)
-    return (d + d.T) / 2.0  # exact symmetry for the combinatorial engine
+    d = np.asarray(d, dtype=np.float32)
+    # exact symmetry for the combinatorial engine; stays f32 — the native
+    # engine's f32 path is exactly as accurate on f32-derived values
+    return ((d + d.T) * np.float32(0.5)).astype(np.float32)
 
 
 def rips_at_scale(x: np.ndarray, maxdim: int = 2, thresh: float = np.inf,
