@@ -473,7 +473,14 @@ class RipsEngine {
       while (true) {
         DiamIdx pivot;
         if (!pop_pivot(heap, pivot)) {
-          bars.push_back({static_cast<int32_t>(p), col.diam, -1.0});
+          // zero column: essential class.  Impossible under the
+          // enclosing-radius mode (the complex cones off) — flag the
+          // invariant violation so the caller fails loudly instead of
+          // silently emitting a bogus infinite bar (mirrors the python
+          // oracle's AssertionError).
+          if (!essential_allowed_) invariant_violation_ = true;
+          bars.push_back({static_cast<int32_t>(p), col.diam,
+                          static_cast<value_t>(-1.0)});
           v_columns.push_back(std::move(v_col));
           break;
         }
@@ -575,6 +582,10 @@ class RipsEngine {
 
  private:
 #endif
+ public:
+  bool invariant_violation_ = false;
+
+ private:
   const value_t* dist_;
   index_t n_;
   int maxdim_;
@@ -591,9 +602,12 @@ extern "C" {
 
 int TDAX_ENTRY(const value_t* dist, int n, int maxdim, double thresh,
                double** out, long* out_len) {
+  // fixed vertex buffers support simplices up to dim 4 (maxdim 3)
+  if (maxdim < 0 || maxdim > 3) return 3;
   try {
     RipsEngine engine(dist, n, maxdim, thresh);
     std::vector<Bar> bars = engine.run();
+    if (engine.invariant_violation_) return 4;
     double* buf = static_cast<double*>(malloc(sizeof(double) * 3 * bars.size()));
     if (!buf && !bars.empty()) return 2;
     for (size_t i = 0; i < bars.size(); ++i) {

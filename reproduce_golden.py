@@ -52,6 +52,10 @@ def main(ref_dir: str = "/root/reference/tda-output",
                                             f"layer_{i}_diagram.png"),
                          title=f"Layer {i} Diagram")
 
+        # count asserts FIRST: a feature-count regression must report the
+        # layer, not die in a broadcast error inside the deviation math
+        assert len(h1_pers) == entry["n_h1_features"], f"layer {i}"
+        assert stats[-1]["n_h0_features"] == entry["n_h0_features"], f"layer {i}"
         worst = max(worst,
                     abs(max_h0 - entry["max_h0_persistence"]),
                     abs(max_h1 - entry["max_h1_persistence"]),
@@ -59,8 +63,6 @@ def main(ref_dir: str = "/root/reference/tda-output",
                         np.sort(h1_pers) -
                         np.sort(entry["all_h1_persistence_values"])))
                         if len(h1_pers) else 0.0))
-        assert len(h1_pers) == entry["n_h1_features"], f"layer {i}"
-        assert stats[-1]["n_h0_features"] == entry["n_h0_features"], f"layer {i}"
 
     dump_json(stats, os.path.join(out_dir, "summary_stats.json"))
 

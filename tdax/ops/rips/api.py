@@ -29,7 +29,8 @@ def rips_from_distances(dist: np.ndarray, maxdim: int = 1,
     keep = np.float32 if np.asarray(dist).dtype == np.float32 else np.float64
     dist = np.ascontiguousarray(dist, dtype=keep)
     if backend == "auto":
-        backend = "native" if _native_available() else "python"
+        # native engine's fixed vertex buffers cap it at maxdim 3
+        backend = "native" if (maxdim <= 3 and _native_available()) else "python"
     if backend == "native":
         from tdax.ops.rips import native
         dgms = native.rips_native(dist, maxdim=maxdim, thresh=thresh)

@@ -100,6 +100,13 @@ def rips_native(dist: np.ndarray, maxdim: int = 1,
         n, maxdim, float(thresh),
         ctypes.byref(out_ptr), ctypes.byref(out_len),
     )
+    if rc == 3:
+        raise ValueError("native rips engine supports maxdim <= 3; "
+                         "use backend='python' for higher dimensions")
+    if rc == 4:
+        raise AssertionError(
+            "zero column under enclosing-radius threshold — filtration "
+            "should be acyclic above dim 0 (engine invariant violated)")
     if rc != 0:
         raise RuntimeError(f"tdax_rips_dense failed with code {rc}")
     try:

@@ -27,19 +27,15 @@ MIN_K_DIST_SCALE = 1e-3
 
 
 def pairwise(x: jnp.ndarray, metric: str) -> jnp.ndarray:
+    """Distance matrix via the shared kernels in tdax.ops.distances
+    (single source of truth for the MXU expansion form + clipping)."""
+    from tdax.ops.distances import pairwise_cosine, pairwise_euclidean
+
     if metric == "cosine":
-        norms = jnp.linalg.norm(x, axis=-1, keepdims=True)
-        xn = x / jnp.maximum(norms, 1e-30)
-        d = 1.0 - jnp.dot(xn, xn.T, preferred_element_type=jnp.float32)
-        d = jnp.clip(d, 0.0, 2.0)
-    elif metric == "euclidean":
-        sq = jnp.sum(x * x, axis=-1)
-        d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.dot(x, x.T, preferred_element_type=jnp.float32)
-        d = jnp.sqrt(jnp.maximum(d2, 0.0))
-    else:
-        raise ValueError(f"unsupported metric {metric!r}")
-    n = x.shape[0]
-    return d * (1.0 - jnp.eye(n, dtype=d.dtype))
+        return pairwise_cosine(x)
+    if metric == "euclidean":
+        return pairwise_euclidean(x)
+    raise ValueError(f"unsupported metric {metric!r}")
 
 
 def knn(dist: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -65,9 +61,15 @@ def smooth_knn_dist(knn_dists: jnp.ndarray, k: float,
 
     if index > 0:
         lo = nonzero_sorted[:, index - 1]
-        hi = jnp.where(index < knn_dists.shape[1],
-                       nonzero_sorted[:, min(index, knn_dists.shape[1] - 1)], lo)
-        rho_interp = lo + interpolation * (hi - lo)
+        if interpolation > SMOOTH_K_TOLERANCE:
+            # umap only interpolates when the fraction is non-negligible;
+            # guard the upper neighbor (inf when fewer nonzero distances
+            # exist) so 0*inf never produces NaN
+            hi = nonzero_sorted[:, min(index, knn_dists.shape[1] - 1)]
+            hi = jnp.where(jnp.isfinite(hi), hi, lo)
+            rho_interp = lo + interpolation * (hi - lo)
+        else:
+            rho_interp = lo
     else:
         rho_interp = interpolation * nonzero_sorted[:, 0]
     rho_max = jnp.where(n_nonzero > 0, jnp.max(jnp.where(jnp.isfinite(nonzero), nonzero, 0.0), axis=1), 0.0)

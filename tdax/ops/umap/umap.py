@@ -112,6 +112,8 @@ class UMAP:
     def fit(self, x: np.ndarray) -> "UMAP":
         x = jnp.asarray(np.asarray(x), dtype=jnp.float32)
         n = x.shape[0]
+        if n < 2:
+            raise ValueError(f"UMAP requires at least 2 samples, got {n}")
         k = min(self.n_neighbors, n - 1) if n > 1 else 1
         emb, _ = _embed(x, k, self.n_components, self.metric,
                         _default_epochs(n, self.n_epochs), self._key(),
@@ -172,7 +174,8 @@ class UMAP:
         emb = optimize_layout(init, train_emb, graph, n_epochs, key,
                               self._a, self._b,
                               gamma=self.repulsion_strength,
-                              initial_alpha=self.learning_rate,
+                              # umap-learn's transform damps the step size
+                              initial_alpha=self.learning_rate / 4.0,
                               negative_sample_rate=self.negative_sample_rate,
                               move_other=False)
         return np.asarray(emb)
@@ -190,6 +193,8 @@ def fit_transform_batched(clouds: np.ndarray, cfg: UMAPConfig | None = None,
     cfg = cfg or UMAPConfig()
     clouds = jnp.asarray(np.asarray(clouds), dtype=jnp.float32)
     n_layers, n, _ = clouds.shape
+    if n < 2:
+        raise ValueError(f"UMAP requires at least 2 samples per cloud, got {n}")
     k = n_neighbors if n_neighbors is not None else min(cfg.n_neighbors, n - 1)
     a, b = find_ab_params(cfg.spread, cfg.min_dist)
     n_epochs = _default_epochs(n, cfg.n_epochs)

@@ -44,7 +44,8 @@ def compute_tda_for_condition(condition: str, clouds: np.ndarray,
 
     all_stats = []
     for i in range(cfg.n_layers):
-        np.save(os.path.join(cloud_dir, f"layer_{i}_cloud.npy"), clouds_3d[i])
+        if cfg.save_clouds:
+            np.save(os.path.join(cloud_dir, f"layer_{i}_cloud.npy"), clouds_3d[i])
         dgms = dgms_per_layer[i]
         _, max_h0 = get_persistence(dgms[0])
         h1_pers, max_h1 = get_persistence(dgms[1])
@@ -60,17 +61,18 @@ def compute_tda_for_condition(condition: str, clouds: np.ndarray,
         }
         all_stats.append(stats)
 
-    import concurrent.futures as cf
+    if cfg.save_diagrams:
+        import concurrent.futures as cf
 
-    def render(i: int) -> None:
-        s = all_stats[i]
-        save_diagram_png(dgms_per_layer[i],
-                         os.path.join(diag_dir, f"layer_{i}_diagram.png"),
-                         title=f"{condition} - Layer {i} | "
-                               f"H1={s['n_h1_features']} | "
-                               f"Max Pers={s['max_h1_persistence']:.3f}")
-    with cf.ThreadPoolExecutor(max_workers=4) as pool:
-        list(pool.map(render, range(cfg.n_layers)))
+        def render(i: int) -> None:
+            s = all_stats[i]
+            save_diagram_png(dgms_per_layer[i],
+                             os.path.join(diag_dir, f"layer_{i}_diagram.png"),
+                             title=f"{condition} - Layer {i} | "
+                                   f"H1={s['n_h1_features']} | "
+                                   f"Max Pers={s['max_h1_persistence']:.3f}")
+        with cf.ThreadPoolExecutor(max_workers=4) as pool:
+            list(pool.map(render, range(cfg.n_layers)))
 
     dump_json(all_stats, os.path.join(output_subdir, "layer_stats.json"))
     return all_stats

@@ -86,9 +86,16 @@ def extract_activations(metadata: list[dict], output_path: str,
     todo = [m for m in metadata if m["id"] not in set(done_ids)]
     bs = extract_cfg.batch_size
 
-    # one static sequence length for the whole run -> single compile
-    probe = batch_encode(tokenizer, metadata, cfg)
-    max_len = _round_up(probe["input_ids"].shape[1] + 1, 64)
+    # tokenize the whole dataset ONCE (slow tokenizers are host-bound);
+    # batches below just slice rows.  One static sequence length for the
+    # whole run -> single compile.
+    encoded = batch_encode(tokenizer, metadata, cfg)
+    max_len = _round_up(encoded["input_ids"].shape[1] + 1, 64)
+    pad = max_len - encoded["input_ids"].shape[1]
+    enc_ids = np.pad(encoded["input_ids"], ((0, 0), (0, pad)),
+                     constant_values=tokenizer.pad_id)
+    enc_mask = np.pad(encoded["attn_mask"], ((0, 0), (0, pad)))
+    row_of = {m["id"]: j for j, m in enumerate(metadata)}
 
     @functools.partial(jax.jit, static_argnames=())
     def run(p, ids, mask, last_idx, images, img_pos):
@@ -102,12 +109,13 @@ def extract_activations(metadata: list[dict], output_path: str,
     since_save = 0
     for start in range(0, len(todo), bs):
         chunk = todo[start:start + bs]
-        batch = batch_encode(tokenizer, chunk, cfg, max_len=max_len)
-        images = load_image_batch(batch["image_paths"], cfg.visual.image_size)
+        rows = np.asarray([row_of[m["id"]] for m in chunk])
+        image_paths = [encoded["image_paths"][r] for r in rows]
+        images = load_image_batch(image_paths, cfg.visual.image_size)
 
-        args = [np.asarray(batch["input_ids"]), np.asarray(batch["attn_mask"]),
-                np.asarray(batch["last_token_idx"]),
-                images.astype(np.float32), np.asarray(batch["image_positions"])]
+        args = [enc_ids[rows], enc_mask[rows],
+                encoded["last_token_idx"][rows],
+                images.astype(np.float32), encoded["image_positions"][rows]]
         if dp_shard is not None and len(chunk) == bs:
             args = [jax.device_put(a, dp_shard) for a in args]
         acts = np.asarray(run(params, *args), dtype=np.float32)  # [L, b, H]

@@ -137,3 +137,17 @@ def test_native_matches_python_threshold(thresh):
         assert py[p].shape == nat[p].shape, f"dim {p}"
         np.testing.assert_allclose(np.sort(py[p], axis=0), np.sort(nat[p], axis=0),
                                    rtol=1e-9, atol=1e-12)
+
+
+def test_maxdim_above_native_cap_routes_to_python():
+    """Native engine caps at maxdim 3 (fixed vertex buffers); auto backend
+    must fall back to python instead of corrupting memory."""
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(8, 3))
+    dgms = rips(x, maxdim=4, backend="auto")["dgms"]
+    assert len(dgms) == 5
+    from tdax.ops.rips import native
+    if native.available():
+        from tdax.ops.distances import pairwise_euclidean_np
+        with pytest.raises(ValueError):
+            native.rips_native(pairwise_euclidean_np(x), maxdim=4)

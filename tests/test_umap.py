@@ -124,3 +124,15 @@ def test_transform_mode(clusters):
     # cluster structure retained under transform
     from sklearn.metrics import silhouette_score
     assert silhouette_score(t, labels) > 0.3
+
+
+def test_smooth_knn_rho_with_duplicates():
+    """A point with a single nonzero kNN distance gets rho = that distance
+    (umap-learn behavior), not NaN->0 from 0*inf interpolation."""
+    from tdax.ops.umap.fuzzy import smooth_knn_dist
+    d = jnp.asarray(np.array([[0.0, 0.0, 0.0, 0.7],
+                              [0.0, 0.2, 0.3, 0.4]], np.float32))
+    sigma, rho = smooth_knn_dist(d, 4.0, local_connectivity=1.0)
+    assert float(rho[0]) == pytest.approx(0.7)
+    assert float(rho[1]) == pytest.approx(0.2)
+    assert np.isfinite(np.asarray(sigma)).all()
