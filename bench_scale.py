@@ -10,7 +10,10 @@ gaussian mixture concentrates all distances into a razor-thin band, so
 no threshold is meaningful there); the threshold is picked so each
 point has ~target_degree neighbors.
 
-Usage: python bench_scale.py [n_points] [maxdim] [target_degree]
+Usage: python bench_scale.py [n_points] [maxdim] [target_degree] [mode]
+  mode: "dense" (full matrix to host) or "sparse" (default: only k-NN
+  lists cross the device boundary; the CSR cohomology engine computes
+  H0..maxdim on the host).
 Prints one JSON line per stage plus a summary line.
 """
 
@@ -36,6 +39,22 @@ def main() -> None:
     proj = rng.normal(size=(4, d)) / np.sqrt(4)
     x = (z @ proj + rng.normal(0, 1e-3, (n, d))).astype(np.float32)
     target_degree = min(int(sys.argv[3]) if len(sys.argv) > 3 else 40, n - 1)
+    mode = sys.argv[4] if len(sys.argv) > 4 else "sparse"
+
+    if mode == "sparse":
+        from tdax.pipeline.scale import rips_at_scale_sparse
+        t0 = time.time()
+        out = rips_at_scale_sparse(x, maxdim=maxdim,
+                                   target_degree=target_degree)
+        total = time.time() - t0
+        print(json.dumps({"stage": "sparse_knn_csr_ph", "thresh": round(out["thresh"], 4),
+                          "n_edges": out["n_edges"],
+                          "bars": [int(len(g)) for g in out["dgms"]],
+                          "value": round(total, 2), "unit": "s"}))
+        print(json.dumps({"metric": f"rips_scale_{n}pts_maxdim{maxdim}_sparse",
+                          "value": round(total, 2), "unit": "s",
+                          "vs_baseline": None}))
+        return
 
     from tdax.pipeline.scale import distance_matrix_tpu
     from tdax.ops.rips.mst import h0_diagram_tpu

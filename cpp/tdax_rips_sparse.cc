@@ -1,0 +1,477 @@
+// tdax_rips_sparse.cc — CSR-input Vietoris–Rips persistent cohomology.
+//
+// Same algorithm family as the dense engine (tdax_rips.cc: clearing +
+// emergent pairs + V-column cohomology reduction) re-based on a sparse
+// thresholded neighborhood graph: the TPU computes k-NN neighbor lists
+// (tdax.parallel.sharded_ops / top-k) and only those cross the host
+// boundary (~10 MB at 10k points vs 400 MB for the dense matrix through
+// this box's relay).  All simplices of the thresholded filtration have
+// every edge in the graph, so CSR lookups cover every diameter query:
+//   d(i, j)   : binary search in row i (rows sorted by column);
+//   cofacets  : (p+1)-way sorted-row merge, ascending w == ascending
+//               colex, diameters accumulated during the merge.
+//
+// Input contract: symmetric CSR (both (i,j) and (j,i) present), rows
+// sorted by column index, no self-entries, all values <= thresh.
+// Z/2; pairs with death <= birth dropped; essential bars death = -1.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <limits>
+#include <vector>
+
+namespace tdax_sparse {
+
+using index_t = int64_t;
+using value_t = float;  // values come from f32 device top-k lists
+
+constexpr value_t kInf = std::numeric_limits<value_t>::infinity();
+
+struct DiamIdx {
+  value_t diam;
+  index_t idx;
+};
+
+inline bool ascending(const DiamIdx& a, const DiamIdx& b) {
+  return a.diam < b.diam || (a.diam == b.diam && a.idx < b.idx);
+}
+
+struct HeapGreater {
+  bool operator()(const DiamIdx& a, const DiamIdx& b) const {
+    return ascending(b, a);
+  }
+};
+
+class Binomial {
+ public:
+  Binomial(index_t n, index_t k) : n_(n + 1), k_(k + 1), tab_(n_ * k_, 0) {
+    for (index_t i = 0; i < n_; ++i) {
+      tab_[i * k_] = 1;
+      for (index_t j = 1; j < std::min(i + 1, k_); ++j)
+        tab_[i * k_ + j] = tab_[(i - 1) * k_ + j - 1] + tab_[(i - 1) * k_ + j];
+    }
+  }
+  inline index_t operator()(index_t i, index_t j) const {
+    if (j < 0 || j >= k_ || i < j) return (j == 0) ? 1 : 0;
+    return tab_[i * k_ + j];
+  }
+
+ private:
+  index_t n_, k_;
+  std::vector<index_t> tab_;
+};
+
+class PivotMap {
+ public:
+  explicit PivotMap(size_t expected) {
+    size_t cap = 64;
+    while (cap < expected * 2) cap <<= 1;
+    mask_ = cap - 1;
+    keys_.assign(cap, kEmpty);
+    vals_.resize(cap);
+  }
+  inline int64_t find(index_t key) const {
+    size_t h = hash(key);
+    while (true) {
+      index_t k = keys_[h];
+      if (k == kEmpty) return -1;
+      if (k == key) return vals_[h];
+      h = (h + 1) & mask_;
+    }
+  }
+  inline void insert(index_t key, int64_t val) {
+    if ((size_ + 1) * 3 > (mask_ + 1) * 2) grow();
+    size_t h = hash(key);
+    while (keys_[h] != kEmpty) {
+      if (keys_[h] == key) { vals_[h] = val; return; }
+      h = (h + 1) & mask_;
+    }
+    keys_[h] = key;
+    vals_[h] = val;
+    ++size_;
+  }
+
+ private:
+  static constexpr index_t kEmpty = -1;
+  inline size_t hash(index_t key) const {
+    uint64_t x = static_cast<uint64_t>(key);
+    x ^= x >> 33; x *= 0xff51afd7ed558ccdULL; x ^= x >> 33;
+    return static_cast<size_t>(x) & mask_;
+  }
+  void grow() {
+    size_t cap = (mask_ + 1) << 1;
+    std::vector<index_t> nk(cap, kEmpty);
+    std::vector<int64_t> nv(cap);
+    size_t om = mask_;
+    mask_ = cap - 1;
+    for (size_t i = 0; i <= om; ++i) {
+      if (keys_[i] == kEmpty) continue;
+      size_t h = hash(keys_[i]);
+      while (nk[h] != kEmpty) h = (h + 1) & mask_;
+      nk[h] = keys_[i];
+      nv[h] = vals_[i];
+    }
+    keys_.swap(nk);
+    vals_.swap(nv);
+  }
+  size_t mask_, size_ = 0;
+  std::vector<index_t> keys_;
+  std::vector<int64_t> vals_;
+};
+
+struct Bar {
+  int32_t dim;
+  value_t birth, death;  // death = -1 encodes +inf
+};
+
+class SparseRips {
+ public:
+  SparseRips(index_t n, const int64_t* indptr, const int32_t* indices,
+             const float* data, int maxdim)
+      : n_(n), indptr_(indptr), indices_(indices), data_(data),
+        maxdim_(maxdim), binom_(std::max<index_t>(n, 2), maxdim + 3) {}
+
+  bool invariant_ok = true;
+
+  std::vector<Bar> run() {
+    std::vector<Bar> bars;
+    std::vector<DiamIdx> columns = dim0(bars);
+    for (int p = 1; p <= maxdim_; ++p) {
+      PivotMap pivots(columns.size() + 16);
+      reduce_dimension(p, columns, bars, pivots);
+      if (p < maxdim_) columns = assemble_columns(p + 1, pivots);
+    }
+    return bars;
+  }
+
+ private:
+  // d(i, j) for a graph edge: binary search row i.  Returns inf if absent.
+  inline value_t d(index_t i, index_t j) const {
+    const int32_t* lo = indices_ + indptr_[i];
+    const int32_t* hi = indices_ + indptr_[i + 1];
+    const int32_t* it = std::lower_bound(lo, hi, static_cast<int32_t>(j));
+    if (it == hi || *it != j) return kInf;
+    return data_[indptr_[i] + (it - lo)];
+  }
+
+  inline index_t edge_index(index_t i, index_t j) const {  // i < j
+    return binom_(j, 2) + i;
+  }
+
+  void decode(index_t idx, int dim, index_t* verts) const {
+    index_t hi = n_ - 1;
+    for (int k = dim + 1; k > 0; --k) {
+      index_t lo = k - 1;
+      while (lo < hi) {
+        index_t mid = (lo + hi + 1) >> 1;
+        if (binom_(mid, k) <= idx) lo = mid; else hi = mid - 1;
+      }
+      verts[dim + 1 - k] = lo;
+      idx -= binom_(lo, k);
+      hi = lo - 1;
+    }
+  }
+
+  inline index_t encode(const index_t* verts, int count) const {
+    index_t idx = 0;
+    for (int i = 0; i < count; ++i) idx += binom_(verts[i], count - i);
+    return idx;
+  }
+
+  // --- dim 0 ------------------------------------------------------------------
+
+  struct UF {
+    std::vector<index_t> parent;
+    explicit UF(index_t n) : parent(n) {
+      for (index_t i = 0; i < n; ++i) parent[i] = i;
+    }
+    index_t find(index_t x) {
+      index_t r = x;
+      while (parent[r] != r) r = parent[r];
+      while (parent[x] != r) { index_t nx = parent[x]; parent[x] = r; x = nx; }
+      return r;
+    }
+    bool unite(index_t a, index_t b) {
+      index_t ra = find(a), rb = find(b);
+      if (ra == rb) return false;
+      parent[ra] = rb;
+      return true;
+    }
+  };
+
+  std::vector<DiamIdx> dim0(std::vector<Bar>& bars) {
+    struct Edge { value_t d; index_t i, j; };
+    std::vector<Edge> edges;
+    edges.reserve(indptr_[n_] / 2);
+    for (index_t i = 0; i < n_; ++i)
+      for (index_t k = indptr_[i]; k < indptr_[i + 1]; ++k) {
+        index_t j = indices_[k];
+        if (i < j) edges.push_back({data_[k], i, j});
+      }
+    std::sort(edges.begin(), edges.end(), [this](const Edge& a, const Edge& b) {
+      if (a.d != b.d) return a.d < b.d;
+      return edge_index(a.i, a.j) < edge_index(b.i, b.j);
+    });
+
+    UF uf(n_);
+    std::vector<DiamIdx> positive;
+    positive.reserve(edges.size());
+    for (const Edge& e : edges) {
+      if (uf.unite(e.i, e.j)) {
+        if (e.d > 0) bars.push_back({0, 0.0f, e.d});
+      } else {
+        positive.push_back({e.d, edge_index(e.i, e.j)});
+      }
+    }
+    index_t n_comp = 0;
+    for (index_t v = 0; v < n_; ++v)
+      if (uf.find(v) == v) ++n_comp;
+    for (index_t c = 0; c < n_comp; ++c) bars.push_back({0, 0.0f, -1.0f});
+    return positive;
+  }
+
+  // --- cofacet merge-enumeration -------------------------------------------------
+  // Common neighbors of the simplex's vertices in ascending w, with the
+  // cofacet diameter accumulated from the merged row values.
+
+  template <typename Visit>
+  void for_common_neighbors(const index_t* verts, int count, value_t sdiam,
+                            Visit&& visit) const {
+    const int32_t* it[5];
+    const int32_t* end[5];
+    const float* val[5];
+    for (int i = 0; i < count; ++i) {
+      it[i] = indices_ + indptr_[verts[i]];
+      end[i] = indices_ + indptr_[verts[i] + 1];
+      val[i] = data_ + indptr_[verts[i]];
+    }
+    while (true) {
+      // advance to a common column
+      int32_t w = -1;
+      for (int i = 0; i < count; ++i) {
+        if (it[i] == end[i]) return;
+        w = std::max(w, *it[i]);
+      }
+      bool aligned = true;
+      for (int i = 0; i < count; ++i) {
+        while (it[i] != end[i] && *it[i] < w) ++it[i];
+        if (it[i] == end[i]) return;
+        if (*it[i] != w) aligned = false;
+      }
+      if (!aligned) continue;
+      // common neighbor w: diameter = max(simplex diam, row values)
+      value_t diam = sdiam;
+      for (int i = 0; i < count; ++i)
+        diam = std::max(diam, val[i][it[i] - (indices_ + indptr_[verts[i]])]);
+      if (!visit(diam, static_cast<index_t>(w))) return;
+      for (int i = 0; i < count; ++i) ++it[i];
+    }
+  }
+
+  template <typename Push>
+  void enumerate_cofacets(index_t idx, value_t sdiam, int p, Push&& push) const {
+    index_t verts[4];
+    decode(idx, p, verts);
+    index_t nv[5];
+    for_common_neighbors(verts, p + 1, sdiam, [&](value_t diam, index_t w) {
+      int pos = 0;
+      while (pos <= p && verts[pos] > w) { nv[pos] = verts[pos]; ++pos; }
+      nv[pos] = w;
+      for (int i = pos; i <= p; ++i) nv[i + 1] = verts[i];
+      return push(diam, encode(nv, p + 2));
+    });
+  }
+
+  int probe_emergent(index_t idx, value_t diam, int p,
+                     const PivotMap& pivots, index_t* out_idx) const {
+    index_t verts[4];
+    decode(idx, p, verts);
+    int result = 0;
+    index_t nv[5];
+    for_common_neighbors(verts, p + 1, diam, [&](value_t cdiam, index_t w) {
+      if (cdiam > diam) return true;  // only equal-diam candidates matter
+      int pos = 0;
+      while (pos <= p && verts[pos] > w) { nv[pos] = verts[pos]; ++pos; }
+      nv[pos] = w;
+      for (int i = pos; i <= p; ++i) nv[i + 1] = verts[i];
+      index_t cidx = encode(nv, p + 2);
+      *out_idx = cidx;
+      result = pivots.find(cidx) < 0 ? 1 : 2;
+      return false;  // first equal-diam settles it
+    });
+    return result;
+  }
+
+  // --- reduction -----------------------------------------------------------------
+
+  struct Heap {
+    std::vector<DiamIdx> buf;
+    void clear() { buf.clear(); }
+    void push(const DiamIdx& e) {
+      buf.push_back(e);
+      std::push_heap(buf.begin(), buf.end(), HeapGreater{});
+    }
+    void append(const DiamIdx& e) { buf.push_back(e); }
+    void heapify() { std::make_heap(buf.begin(), buf.end(), HeapGreater{}); }
+    bool empty() const { return buf.empty(); }
+    DiamIdx top() const { return buf.front(); }
+    void pop() {
+      std::pop_heap(buf.begin(), buf.end(), HeapGreater{});
+      buf.pop_back();
+    }
+  };
+
+  static bool pop_pivot(Heap& heap, DiamIdx& out) {
+    while (!heap.empty()) {
+      DiamIdx top = heap.top();
+      heap.pop();
+      if (!heap.empty() && heap.top().idx == top.idx &&
+          heap.top().diam == top.diam) {
+        heap.pop();
+        continue;
+      }
+      out = top;
+      return true;
+    }
+    return false;
+  }
+
+  void reduce_dimension(int p, std::vector<DiamIdx>& columns,
+                        std::vector<Bar>& bars, PivotMap& pivots) {
+    std::sort(columns.begin(), columns.end(),
+              [](const DiamIdx& a, const DiamIdx& b) { return ascending(b, a); });
+
+    std::vector<std::vector<DiamIdx>> v_columns;
+    v_columns.reserve(columns.size());
+    Heap heap;
+
+    for (const DiamIdx col : columns) {
+      index_t emergent_idx = -1;
+      if (probe_emergent(col.idx, col.diam, p, pivots, &emergent_idx) == 1) {
+        v_columns.push_back({col});
+        pivots.insert(emergent_idx, static_cast<int64_t>(v_columns.size() - 1));
+        continue;
+      }
+
+      heap.clear();
+      enumerate_cofacets(col.idx, col.diam, p, [&](value_t diam, index_t cidx) {
+        heap.append({diam, cidx});
+        return true;
+      });
+      heap.heapify();
+
+      std::vector<DiamIdx> v_col{col};
+      while (true) {
+        DiamIdx pivot;
+        if (!pop_pivot(heap, pivot)) {
+          // essential class (legitimate under a finite threshold)
+          bars.push_back({static_cast<int32_t>(p), col.diam, -1.0f});
+          v_columns.push_back(std::move(v_col));
+          break;
+        }
+        int64_t owner = pivots.find(pivot.idx);
+        if (owner < 0) {
+          v_columns.push_back(std::move(v_col));
+          pivots.insert(pivot.idx, static_cast<int64_t>(v_columns.size() - 1));
+          if (pivot.diam > col.diam)
+            bars.push_back({static_cast<int32_t>(p), col.diam, pivot.diam});
+          break;
+        }
+        heap.push(pivot);
+        const std::vector<DiamIdx>& owner_col = v_columns[owner];
+        for (const DiamIdx& s : owner_col) {
+          v_col.push_back(s);
+          enumerate_cofacets(s.idx, s.diam, p, [&](value_t diam, index_t cidx) {
+            heap.push({diam, cidx});
+            return true;
+          });
+        }
+      }
+    }
+  }
+
+  // --- clearing: next dimension's columns -------------------------------------
+
+  std::vector<DiamIdx> assemble_columns(int p, const PivotMap& pivots) const {
+    // grow p-simplices from (p-1)-simplices by appending common neighbors
+    // larger than the top vertex (each simplex enumerated exactly once)
+    std::vector<DiamIdx> out;
+    index_t verts[5];
+    // enumerate (p-1)-simplices implicitly by recursive growth from edges
+    struct Grow {
+      const SparseRips* self;
+      int target_p;
+      const PivotMap* pivots;
+      std::vector<DiamIdx>* out;
+      void operator()(index_t* vs, int count, value_t diam) {
+        // vs ascending here; count vertices so far
+        if (count == target_p + 1) {
+          index_t desc[5];
+          for (int i = 0; i < count; ++i) desc[i] = vs[count - 1 - i];
+          index_t idx = self->encode(desc, count);
+          if (pivots->find(idx) < 0) out->push_back({diam, idx});
+          return;
+        }
+        index_t desc[5];
+        for (int i = 0; i < count; ++i) desc[i] = vs[count - 1 - i];
+        self->for_common_neighbors(desc, count, diam,
+                                   [&](value_t nd, index_t w) {
+          if (w > vs[count - 1]) {
+            vs[count] = w;
+            (*this)(vs, count + 1, nd);
+          }
+          return true;
+        });
+      }
+    };
+    Grow grow{this, p, &pivots, &out};
+    for (index_t i = 0; i < n_; ++i)
+      for (index_t k = indptr_[i]; k < indptr_[i + 1]; ++k) {
+        index_t j = indices_[k];
+        if (i < j) {
+          verts[0] = i;
+          verts[1] = j;
+          grow(verts, 2, data_[k]);
+        }
+      }
+    return out;
+  }
+
+  index_t n_;
+  const int64_t* indptr_;
+  const int32_t* indices_;
+  const float* data_;
+  int maxdim_;
+  Binomial binom_;
+};
+
+}  // namespace tdax_sparse
+
+extern "C" {
+
+int tdax_rips_sparse(int64_t n, const int64_t* indptr, const int32_t* indices,
+                     const float* data, int maxdim,
+                     double** out, long* out_len) {
+  if (maxdim < 0 || maxdim > 3) return 3;
+  try {
+    tdax_sparse::SparseRips engine(n, indptr, indices, data, maxdim);
+    auto bars = engine.run();
+    double* buf = static_cast<double*>(malloc(sizeof(double) * 3 * bars.size()));
+    if (!buf && !bars.empty()) return 2;
+    for (size_t i = 0; i < bars.size(); ++i) {
+      buf[3 * i] = bars[i].dim;
+      buf[3 * i + 1] = bars[i].birth;
+      buf[3 * i + 2] = bars[i].death;
+    }
+    *out = buf;
+    *out_len = static_cast<long>(3 * bars.size());
+    return 0;
+  } catch (...) {
+    return 1;
+  }
+}
+
+}  // extern "C"

@@ -30,6 +30,7 @@ def _build() -> bool:
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-march=native",
         "-o", _SO_PATH, _SRC_PATH,
         os.path.join(_CPP_DIR, "tdax_rips_f32.cc"),
+        os.path.join(_CPP_DIR, "tdax_rips_sparse.cc"),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
@@ -49,7 +50,8 @@ def _load():
             _build_failed = True
             return None
         src_mtime = max(os.path.getmtime(_SRC_PATH),
-                        os.path.getmtime(os.path.join(_CPP_DIR, "tdax_rips_f32.cc")))
+                        os.path.getmtime(os.path.join(_CPP_DIR, "tdax_rips_f32.cc")),
+                        os.path.getmtime(os.path.join(_CPP_DIR, "tdax_rips_sparse.cc")))
         if (not os.path.exists(_SO_PATH)
                 or os.path.getmtime(_SO_PATH) < src_mtime):
             if not _build():

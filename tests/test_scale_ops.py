@@ -105,3 +105,67 @@ def test_rips_at_scale_with_mesh():
     ref = rips_reference(dist.astype(np.float32).astype(np.float64), maxdim=1)
     np.testing.assert_allclose(np.sort(out[1], axis=0), np.sort(ref[1], axis=0),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_sparse_engine_matches_dense_thresholded():
+    """Sparse CSR engine == dense engine on the same thresholded filtration."""
+    from tdax.ops.rips import native
+    if not native.available():
+        pytest.skip("native engine not built")
+    from tdax.ops.rips.sparse import csr_from_knn, rips_sparse
+    from tdax.ops.rips.reference import rips_reference
+    rng = np.random.default_rng(11)
+    z = rng.normal(size=(80, 3))
+    z /= np.linalg.norm(z, axis=1, keepdims=True)  # 2-sphere: H2 content
+    dist = pairwise_euclidean_np(z).astype(np.float32)
+    k = 40
+    order = np.argsort(dist, axis=1)
+    knn_idx = order[:, :k]
+    knn_dist = np.take_along_axis(dist, knn_idx, axis=1)
+    thresh = float(np.median(knn_dist[:, 25]))
+
+    indptr, indices, data = csr_from_knn(knn_idx, knn_dist, thresh)
+    sp = rips_sparse(indptr, indices, data, maxdim=2)
+    ref = rips_reference(dist.astype(np.float64), maxdim=2, thresh=thresh)
+    for p in range(3):
+        assert sp[p].shape == ref[p].shape, f"dim {p}: {sp[p].shape} vs {ref[p].shape}"
+        fin_s = sp[p][np.isfinite(sp[p][:, 1])]
+        fin_r = ref[p][np.isfinite(ref[p][:, 1])]
+        np.testing.assert_allclose(np.sort(fin_s, axis=0), np.sort(fin_r, axis=0),
+                                   rtol=1e-5, atol=1e-6, err_msg=f"dim {p}")
+        assert np.isinf(sp[p][:, 1]).sum() == np.isinf(ref[p][:, 1]).sum()
+
+
+def test_csr_completeness_guard():
+    from tdax.ops.rips.sparse import csr_from_knn
+    rng = np.random.default_rng(12)
+    x = rng.normal(size=(30, 3))
+    dist = pairwise_euclidean_np(x).astype(np.float32)
+    order = np.argsort(dist, axis=1)
+    k = 5
+    knn_idx = order[:, :k]
+    knn_dist = np.take_along_axis(dist, knn_idx, axis=1)
+    # threshold beyond the k-th neighbor: the k-NN graph is incomplete
+    with pytest.raises(ValueError, match="increase k"):
+        csr_from_knn(knn_idx, knn_dist, thresh=float(dist.max()))
+
+
+def test_rips_at_scale_sparse_matches_dense():
+    from tdax.ops.rips import native
+    if not native.available():
+        pytest.skip("native engine not built")
+    from tdax.pipeline.scale import rips_at_scale_sparse
+    from tdax.ops.rips.reference import rips_reference
+    rng = np.random.default_rng(13)
+    z = rng.normal(size=(100, 4))
+    z /= np.linalg.norm(z, axis=1, keepdims=True)
+    x = (z @ rng.normal(size=(4, 32))).astype(np.float32)
+    out = rips_at_scale_sparse(x, maxdim=1, target_degree=25)
+    dist = pairwise_euclidean_np(x.astype(np.float32)).astype(np.float64)
+    ref = rips_reference(dist, maxdim=1, thresh=out["thresh"])
+    for p in range(2):
+        fin_s = out["dgms"][p][np.isfinite(out["dgms"][p][:, 1])]
+        fin_r = ref[p][np.isfinite(ref[p][:, 1])]
+        assert fin_s.shape == fin_r.shape, f"dim {p}"
+        np.testing.assert_allclose(np.sort(fin_s, axis=0), np.sort(fin_r, axis=0),
+                                   rtol=1e-4, atol=1e-4, err_msg=f"dim {p}")
