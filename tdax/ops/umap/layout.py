@@ -16,7 +16,7 @@ masked tensors, so 32 layers' layouts compile to a single XLA program.
 
 Deviation notes (documented, downstream-invariant — SURVEY §7 #2):
   * synchronous updates (see above);
-  * per-edge negative-sample count is capped at MAX_NEG per epoch
+  * per-edge negative-sample count is capped per epoch (rate + slack)
     (umap's count is unbounded for rarely-sampled edges); schedules
     still advance by the uncapped amount, so sampling cadence matches.
 
@@ -33,7 +33,10 @@ import functools
 import jax
 import jax.numpy as jnp
 
-MAX_NEG = 8  # per active edge per epoch; umap's per-epoch counts are ~negative_sample_rate
+# Per-edge negative samples per epoch cap = negative_sample_rate + this
+# slack (umap's steady-state per-epoch count is ~negative_sample_rate for
+# the most frequently sampled edges).
+NEG_SLACK = 3
 
 
 def make_epochs_per_sample(weights: jnp.ndarray, n_epochs: int) -> jnp.ndarray:
@@ -108,6 +111,7 @@ def optimize_layout(head_embedding: jnp.ndarray,
     """
     n_head, dim = head_embedding.shape
     n_tail = tail_embedding.shape[0]
+    max_neg = negative_sample_rate + NEG_SLACK
     a32, b32, g32 = jnp.float32(a), jnp.float32(b), jnp.float32(gamma)
 
     wmax = jnp.max(graph)
@@ -127,9 +131,9 @@ def optimize_layout(head_embedding: jnp.ndarray,
         n_neg = jnp.where(active, (epoch.astype(jnp.float32) - eonns) / epns_mat, 0.0)
         n_neg_int = jnp.floor(n_neg).astype(jnp.int32)
         k1 = jax.random.fold_in(key, epoch)
-        neg_idx = jax.random.randint(k1, (n_head, n_tail, MAX_NEG), 0, n_tail)
-        slot = jax.lax.broadcasted_iota(jnp.int32, (n_head, n_tail, MAX_NEG), 2)
-        neg_on = active[:, :, None] & (slot < jnp.minimum(n_neg_int, MAX_NEG)[:, :, None])
+        neg_idx = jax.random.randint(k1, (n_head, n_tail, max_neg), 0, n_tail)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (n_head, n_tail, max_neg), 2)
+        neg_on = active[:, :, None] & (slot < jnp.minimum(n_neg_int, max_neg)[:, :, None])
 
         head_force, head_count, tail_force, tail_count = _epoch_forces(
             head, tail, active, neg_idx, neg_on, tail_j_idx, a32, b32, g32)

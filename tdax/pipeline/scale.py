@@ -85,14 +85,18 @@ def _select_threshold(xj, n: int, target_degree: int, sample: int = 512) -> floa
 
 def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
                          target_degree: int = 40, mesh=None,
-                         degree_headroom: float = 4.0) -> dict:
-    """Transfer-light scale path: the device computes the distance matrix
-    and extracts ONLY the thresholded edge list with a fixed-size masked
-    nonzero (no top-k sorting networks, no n^2 host transfer) — ~n *
-    target_degree * headroom entries cross the boundary; the sparse CSR
-    cohomology engine does H0..maxdim on the host.  Exact by
-    construction: the mask covers all pairs <= thresh, and an overflow of
-    the static edge budget raises instead of truncating."""
+                         degree_headroom: float = 4.0,
+                         block_rows: int = 8192) -> dict:
+    """Transfer-light scale path: the device computes distance ROW BLOCKS
+    and extracts ONLY the thresholded edge list with fixed-size masked
+    nonzeros (no top-k sorting networks, no n^2 materialization on
+    either side) — ~n * target_degree * headroom entries cross the
+    boundary; the sparse CSR cohomology engine does H0..maxdim on the
+    host.  Row blocking bounds device memory at block_rows * n, so n is
+    limited by the edge list, not by an n x n matrix (100k+ points on a
+    single 16 GB chip).  Exact by construction: the mask covers all
+    pairs <= thresh, and an overflow of the per-block edge budget raises
+    instead of truncating."""
     import jax
     import jax.numpy as jnp
 
@@ -101,31 +105,53 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
     xj = jnp.asarray(np.asarray(x), dtype=jnp.float32)
     n = xj.shape[0]
     thresh = _select_threshold(xj, n, target_degree)
-    max_entries = int(n * target_degree * degree_headroom)
+    block_rows = min(block_rows, n)
+    block_budget = int(block_rows * target_degree * degree_headroom)
 
     @functools.partial(jax.jit, static_argnames=("size",))
-    def extract_edges(xx, t, size):
-        from tdax.ops.distances import pairwise_euclidean
-        d = pairwise_euclidean(xx, exact=False)
-        mask = (d <= t) & ~jnp.eye(xx.shape[0], dtype=bool)
+    def extract_block(x_rows, x_full, row0, t, size):
+        sq_r = jnp.sum(x_rows * x_rows, axis=1, keepdims=True)
+        sq_f = jnp.sum(x_full * x_full, axis=1, keepdims=True)
+        d2 = sq_r + sq_f.T - 2.0 * jnp.dot(x_rows, x_full.T,
+                                           preferred_element_type=jnp.float32)
+        d = jnp.sqrt(jnp.maximum(d2, 0.0))
+        rows_abs = row0 + jnp.arange(x_rows.shape[0])[:, None]
+        cols = jnp.arange(x_full.shape[0])[None, :]
+        mask = (d <= t) & (rows_abs != cols)
         count = jnp.sum(mask)
         r, c = jnp.nonzero(mask, size=size, fill_value=-1)
         vals = d[jnp.maximum(r, 0), jnp.maximum(c, 0)]
         return r, c, vals, count
 
-    r, c, v, count = extract_edges(xj, jnp.float32(thresh), max_entries)
-    count = int(count)
-    if count > max_entries:
-        raise ValueError(f"edge budget overflow: {count} > {max_entries}; "
-                         f"raise degree_headroom or lower target_degree")
-    r = np.asarray(r)[:count].astype(np.int64)
-    c = np.asarray(c)[:count].astype(np.int32)
-    v = np.asarray(v)[:count].astype(np.float32)
+    rs, cs, vs = [], [], []
+    for row0 in range(0, n, block_rows):
+        hi = min(row0 + block_rows, n)
+        # static shapes: pad the tail block by reusing leading rows, then
+        # drop their (duplicate) edges host-side
+        pad = block_rows - (hi - row0)
+        rows_slice = jnp.concatenate([xj[row0:hi], xj[:pad]]) if pad else xj[row0:hi]
+        r, c, v, count = extract_block(rows_slice, xj, jnp.int32(row0),
+                                       jnp.float32(thresh), block_budget)
+        count = int(count)
+        if count > block_budget:
+            raise ValueError(f"edge budget overflow in block {row0}: "
+                             f"{count} > {block_budget}; raise degree_headroom")
+        r = np.asarray(r)[:count]
+        c = np.asarray(c)[:count]
+        v = np.asarray(v)[:count]
+        keep = r < (hi - row0)  # drop pad rows
+        rs.append((r[keep] + row0).astype(np.int64))
+        cs.append(c[keep].astype(np.int32))
+        vs.append(v[keep].astype(np.float32))
 
-    # rows arrive sorted from nonzero (row-major scan) -> CSR directly
+    r = np.concatenate(rs)
+    c = np.concatenate(cs)
+    v = np.concatenate(vs)
+
+    # blocks arrive in row order; nonzero scan is row-major -> CSR directly
     indptr = np.zeros(n + 1, dtype=np.int64)
     np.add.at(indptr, r + 1, 1)
     np.cumsum(indptr, out=indptr)
 
     dgms = rips_sparse(indptr, c, v, maxdim=maxdim)
-    return {"dgms": dgms, "thresh": thresh, "n_edges": count // 2}
+    return {"dgms": dgms, "thresh": thresh, "n_edges": int(len(c)) // 2}

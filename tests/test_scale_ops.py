@@ -169,3 +169,19 @@ def test_rips_at_scale_sparse_matches_dense():
         assert fin_s.shape == fin_r.shape, f"dim {p}"
         np.testing.assert_allclose(np.sort(fin_s, axis=0), np.sort(fin_r, axis=0),
                                    rtol=1e-4, atol=1e-4, err_msg=f"dim {p}")
+
+
+def test_rips_at_scale_sparse_blocked_matches_unblocked():
+    from tdax.ops.rips import native
+    if not native.available():
+        pytest.skip("native engine not built")
+    from tdax.pipeline.scale import rips_at_scale_sparse
+    rng = np.random.default_rng(14)
+    z = rng.normal(size=(100, 4))
+    z /= np.linalg.norm(z, axis=1, keepdims=True)
+    x = (z @ rng.normal(size=(4, 32))).astype(np.float32)
+    a = rips_at_scale_sparse(x, maxdim=1, target_degree=25, block_rows=32)
+    b = rips_at_scale_sparse(x, maxdim=1, target_degree=25, block_rows=100)
+    assert a["n_edges"] == b["n_edges"]
+    for p in range(2):
+        np.testing.assert_array_equal(a["dgms"][p], b["dgms"][p])
