@@ -2,7 +2,7 @@
 
 from tdax.metrics.silhouette import silhouette_score
 from tdax.metrics.persistence import (get_persistence, bottleneck_distance,
-                                      diagram_stats)
+                                      wasserstein_distance, diagram_stats)
 from tdax.metrics.geometry import (compute_effective_dimensionality,
                                    compute_fixed_window_ed,
                                    compute_intrinsic_dimensionality,
@@ -12,6 +12,7 @@ from tdax.metrics.geometry import (compute_effective_dimensionality,
 
 __all__ = [
     "silhouette_score", "get_persistence", "bottleneck_distance",
+    "wasserstein_distance",
     "diagram_stats",
     "compute_effective_dimensionality", "compute_fixed_window_ed",
     "compute_intrinsic_dimensionality", "compute_fixed_window_id",

@@ -113,3 +113,41 @@ def bottleneck_distance(dgm_a: np.ndarray, dgm_b: np.ndarray) -> float:
         else:
             lo = mid + 1
     return max(float(candidates[lo]), inf_cost)
+
+
+def wasserstein_distance(dgm_a: np.ndarray, dgm_b: np.ndarray,
+                         order: float = 1.0) -> float:
+    """Exact q-Wasserstein distance between diagrams (L-inf ground metric,
+    diagonal matching allowed) via optimal assignment on the augmented
+    bipartite cost matrix (scipy Hungarian).  Infinite bars must pair
+    across diagrams (by sorted birth) or the distance is inf."""
+    from scipy.optimize import linear_sum_assignment
+
+    a = np.asarray(dgm_a, dtype=np.float64).reshape(-1, 2)
+    b = np.asarray(dgm_b, dtype=np.float64).reshape(-1, 2)
+
+    a_inf, b_inf = a[np.isinf(a[:, 1])], b[np.isinf(b[:, 1])]
+    a, b = a[np.isfinite(a[:, 1])], b[np.isfinite(b[:, 1])]
+    if len(a_inf) != len(b_inf):
+        return float("inf")
+    inf_cost = float(np.sum(np.abs(np.sort(a_inf[:, 0]) - np.sort(b_inf[:, 0])) ** order)) \
+        if len(a_inf) else 0.0
+
+    n, m = len(a), len(b)
+    if n == 0 and m == 0:
+        return inf_cost ** (1.0 / order) if order != 1.0 else inf_cost
+
+    size = n + m
+    cost = np.zeros((size, size))
+    if n and m:
+        cost[:n, :m] = np.max(np.abs(a[:, None, :] - b[None, :, :]), axis=-1) ** order
+    big = cost.max() * 10 + 1.0 if n and m else 1.0
+    cost[:n, m:] = big
+    cost[n:, :m] = big
+    for i in range(n):
+        cost[i, m + i] = ((a[i, 1] - a[i, 0]) / 2.0) ** order
+    for j in range(m):
+        cost[n + j, j] = ((b[j, 1] - b[j, 0]) / 2.0) ** order
+    rows, cols = linear_sum_assignment(cost)
+    total = float(cost[rows, cols].sum()) + inf_cost
+    return total ** (1.0 / order) if order != 1.0 else total

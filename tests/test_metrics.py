@@ -188,3 +188,24 @@ def test_matrix_entropy_uniform():
     # orthogonal rows -> uniform spectrum -> Shannon entropy = log(N)
     x = np.eye(8, 16)[None].astype(np.float32)
     assert float(matrix_entropy(x)[0]) == pytest.approx(np.log(8), abs=1e-4)
+
+
+def test_wasserstein_properties():
+    from tdax.metrics import wasserstein_distance
+    rng = np.random.default_rng(0)
+    b = rng.uniform(0, 1, (6, 1))
+    d = np.concatenate([b, b + rng.uniform(0.2, 1, (6, 1))], axis=1)
+    assert wasserstein_distance(d, d) == 0.0
+    d2 = d + 0.01
+    # W1 of a uniform +0.01 shift on 6 points = 6 * 0.01
+    assert wasserstein_distance(d, d2) == pytest.approx(0.06, abs=1e-9)
+    # symmetric
+    assert wasserstein_distance(d, d2) == pytest.approx(wasserstein_distance(d2, d))
+    # diagonal matching: a tiny extra point costs pers/2
+    d3 = np.concatenate([d, [[0.4, 0.5]]])
+    assert wasserstein_distance(d, d3) == pytest.approx(0.05)
+    # W_inf-like consistency: W1 >= bottleneck
+    assert wasserstein_distance(d, d2) >= bottleneck_distance(d, d2) - 1e-12
+    # infinite bars
+    di = np.concatenate([d, [[0.1, np.inf]]])
+    assert wasserstein_distance(d, di) == np.inf
