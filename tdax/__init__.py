@@ -18,3 +18,22 @@ Layer map (mirrors reference SURVEY §1):
 """
 
 __version__ = "0.1.0"
+
+# Top-level convenience API (lazy: keeps `import tdax` light)
+def __getattr__(name):
+    if name == "rips":
+        from tdax.ops.rips import rips
+        return rips
+    if name == "UMAP":
+        from tdax.ops.umap import UMAP
+        return UMAP
+    if name == "silhouette_score":
+        from tdax.metrics import silhouette_score
+        return silhouette_score
+    if name == "bottleneck_distance":
+        from tdax.metrics import bottleneck_distance
+        return bottleneck_distance
+    if name == "wasserstein_distance":
+        from tdax.metrics import wasserstein_distance
+        return wasserstein_distance
+    raise AttributeError(f"module 'tdax' has no attribute {name!r}")

@@ -35,6 +35,7 @@ from tdax.metrics.persistence import diagram_stats
 from tdax.metrics.silhouette import silhouette_jax
 from tdax.ops.rips import rips
 from tdax.ops.umap import UMAP, fit_transform_batched
+from tdax.utils.log import log_event
 from tdax.viz.diagrams import save_diagram_png
 from tdax.viz.evolution import plot_evolution_2x2
 
@@ -135,6 +136,8 @@ def run_tda_sweep(all_data: dict[str, dict], metadata_path: str,
         if verbose:
             print(f"[tdax] embed ({cfg.reducer_mode}): {_time.time() - _t:.1f}s",
                   flush=True)
+        log_event("embed", mode=cfg.reducer_mode, n_layers=cfg.n_layers,
+                  seconds=round(_time.time() - _t, 2))
         _t = _time.time()
 
         # 2) all silhouettes in one vmapped program per label set
@@ -149,6 +152,8 @@ def run_tda_sweep(all_data: dict[str, dict], metadata_path: str,
                                            backend=cfg.rips.backend)
     if verbose:
         print(f"[tdax] persistence: {_time.time() - _t:.1f}s", flush=True)
+    log_event("persistence", n_layers=cfg.n_layers,
+              seconds=round(_time.time() - _t, 2))
 
     all_stats = []
     for i in range(cfg.n_layers):
