@@ -116,3 +116,6 @@ class ExtractConfig:
     batch_size: int = 16
     save_interval: int = 50  # samples between incremental checkpoints
     dtype: str = "bfloat16"
+    # weight-only int8 (per-output-channel): fits the full 9.66B model on
+    # one v5e chip (bf16 needs >= 2 chips tp)
+    quantize_int8: bool = False

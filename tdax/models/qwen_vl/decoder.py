@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from tdax.models.qwen_vl.config import QwenVLConfig
+from tdax.models.qwen_vl.quantize import qdot
 
 
 def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -60,9 +61,7 @@ def attention(x: jnp.ndarray, layer: dict, cfg: QwenVLConfig,
     b, t, h = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
 
-    qkv = jnp.dot(x, layer["attn_qkv_w"],
-                  preferred_element_type=jnp.float32).astype(x.dtype)
-    qkv = qkv + layer["attn_qkv_b"]
+    qkv = qdot(x, layer["attn_qkv_w"]) + layer["attn_qkv_b"]
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(b, t, nh, hd)
     k = k.reshape(b, t, nh, hd)
@@ -79,17 +78,15 @@ def attention(x: jnp.ndarray, layer: dict, cfg: QwenVLConfig,
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                      preferred_element_type=jnp.float32).astype(x.dtype)
     out = out.reshape(b, t, h)
-    return jnp.dot(out, layer["attn_proj_w"],
-                   preferred_element_type=jnp.float32).astype(x.dtype)
+    return qdot(out, layer["attn_proj_w"])
 
 
 def mlp(x: jnp.ndarray, layer: dict) -> jnp.ndarray:
     """QWen SwiGLU: c_proj(w1(x) * silu(w2(x)))."""
-    a1 = jnp.dot(x, layer["mlp_w1"], preferred_element_type=jnp.float32).astype(x.dtype)
-    a2 = jnp.dot(x, layer["mlp_w2"], preferred_element_type=jnp.float32).astype(x.dtype)
+    a1 = qdot(x, layer["mlp_w1"])
+    a2 = qdot(x, layer["mlp_w2"])
     inter = a1 * jax.nn.silu(a2.astype(jnp.float32)).astype(x.dtype)
-    return jnp.dot(inter, layer["mlp_proj_w"],
-                   preferred_element_type=jnp.float32).astype(x.dtype)
+    return qdot(inter, layer["mlp_proj_w"])
 
 
 def block(x: jnp.ndarray, layer: dict, cfg: QwenVLConfig,

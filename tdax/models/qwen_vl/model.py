@@ -17,6 +17,7 @@ import numpy as np
 
 from tdax.models.qwen_vl.config import QwenVLConfig, VisualConfig
 from tdax.models.qwen_vl.decoder import decoder, decoder_capture, rms_norm
+from tdax.models.qwen_vl.quantize import embed_lookup, qdot
 from tdax.models.qwen_vl.vit import sincos_2d, visual_encode
 
 
@@ -104,7 +105,7 @@ def embed_inputs(params: dict, cfg: QwenVLConfig, input_ids: jnp.ndarray,
     extract_activations.py:71-74).  Positions of -1 disable fusion for
     that sample (text-only).
     """
-    x = params["wte"][input_ids]
+    x = embed_lookup(params["wte"], input_ids, jnp.dtype(cfg.dtype))
     if images is not None:
         vis = visual_encode(images, params["visual"], cfg.visual)  # [B, nq, H]
         b = x.shape[0]
@@ -142,4 +143,4 @@ def forward(params: dict, cfg: QwenVLConfig, input_ids: jnp.ndarray,
     x = embed_inputs(params, cfg, input_ids, images, image_positions)
     x = decoder(params["layers"], x, cfg, attn_mask)
     x = rms_norm(x, params["ln_f"], cfg.layer_norm_eps)
-    return jnp.dot(x, params["lm_head"], preferred_element_type=jnp.float32)
+    return qdot(x, params["lm_head"]).astype(jnp.float32)

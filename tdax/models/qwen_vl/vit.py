@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from tdax.models.qwen_vl.config import VisualConfig
+from tdax.models.qwen_vl.quantize import qdot
 
 
 def layer_norm(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -40,7 +41,7 @@ def patch_embed(images: jnp.ndarray, w: jnp.ndarray, cfg: VisualConfig) -> jnp.n
     p, g = cfg.patch_size, cfg.grid_size
     x = images.reshape(b, 3, g, p, g, p)
     x = jnp.transpose(x, (0, 2, 4, 1, 3, 5)).reshape(b, g * g, 3 * p * p)
-    return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(images.dtype)
+    return qdot(x, w).astype(images.dtype)
 
 
 def _mha(q, k, v, n_heads: int):
@@ -61,19 +62,15 @@ def _mha(q, k, v, n_heads: int):
 
 def vit_block(x: jnp.ndarray, layer: dict, cfg: VisualConfig) -> jnp.ndarray:
     h = layer_norm(x, layer["ln_1_w"], layer["ln_1_b"], cfg.layer_norm_eps)
-    qkv = jnp.dot(h, layer["attn_qkv_w"],
-                  preferred_element_type=jnp.float32).astype(x.dtype) + layer["attn_qkv_b"]
+    qkv = qdot(h, layer["attn_qkv_w"]) + layer["attn_qkv_b"]
     q, k, v = jnp.split(qkv, 3, axis=-1)
     attn = _mha(q, k, v, cfg.heads)
-    attn = jnp.dot(attn, layer["attn_proj_w"],
-                   preferred_element_type=jnp.float32).astype(x.dtype) + layer["attn_proj_b"]
+    attn = qdot(attn, layer["attn_proj_w"]) + layer["attn_proj_b"]
     x = x + attn
     h = layer_norm(x, layer["ln_2_w"], layer["ln_2_b"], cfg.layer_norm_eps)
-    h = jnp.dot(h, layer["mlp_fc_w"],
-                preferred_element_type=jnp.float32).astype(x.dtype) + layer["mlp_fc_b"]
+    h = qdot(h, layer["mlp_fc_w"]) + layer["mlp_fc_b"]
     h = jax.nn.gelu(h.astype(jnp.float32)).astype(x.dtype)
-    h = jnp.dot(h, layer["mlp_proj_w"],
-                preferred_element_type=jnp.float32).astype(x.dtype) + layer["mlp_proj_b"]
+    h = qdot(h, layer["mlp_proj_w"]) + layer["mlp_proj_b"]
     return x + h
 
 
@@ -93,8 +90,7 @@ def sincos_2d(grid: int, dim: int) -> np.ndarray:
 def resampler(x: jnp.ndarray, params: dict, cfg: VisualConfig) -> jnp.ndarray:
     """x [B, n_patches, width] -> [B, n_queries, output_dim]."""
     d = cfg.output_dim
-    kv = jnp.dot(x, params["kv_proj_w"],
-                 preferred_element_type=jnp.float32).astype(x.dtype)
+    kv = qdot(x, params["kv_proj_w"])
     kv = layer_norm(kv, params["ln_kv_w"], params["ln_kv_b"], cfg.layer_norm_eps)
     q = layer_norm(params["query"], params["ln_q_w"], params["ln_q_b"],
                    cfg.layer_norm_eps)
@@ -106,12 +102,11 @@ def resampler(x: jnp.ndarray, params: dict, cfg: VisualConfig) -> jnp.ndarray:
     qb = jnp.broadcast_to((q + q_pos)[None], (b, cfg.n_queries, d)).astype(x.dtype)
     kb = kv + kv_pos.astype(x.dtype)
 
-    qh = jnp.dot(qb, params["attn_q_w"], preferred_element_type=jnp.float32).astype(x.dtype) + params["attn_q_b"]
-    kh = jnp.dot(kb, params["attn_k_w"], preferred_element_type=jnp.float32).astype(x.dtype) + params["attn_k_b"]
-    vh = jnp.dot(kv, params["attn_v_w"], preferred_element_type=jnp.float32).astype(x.dtype) + params["attn_v_b"]
+    qh = qdot(qb, params["attn_q_w"]) + params["attn_q_b"]
+    kh = qdot(kb, params["attn_k_w"]) + params["attn_k_b"]
+    vh = qdot(kv, params["attn_v_w"]) + params["attn_v_b"]
     out = _mha(qh, kh, vh, cfg.resampler_heads)
-    out = jnp.dot(out, params["attn_out_w"],
-                  preferred_element_type=jnp.float32).astype(x.dtype) + params["attn_out_b"]
+    out = qdot(out, params["attn_out_w"]) + params["attn_out_b"]
     return out
 
 
@@ -127,5 +122,4 @@ def visual_encode(images: jnp.ndarray, params: dict, cfg: VisualConfig) -> jnp.n
     x, _ = jax.lax.scan(step, x, params["blocks"])
     x = resampler(x, params["resampler"], cfg)
     x = layer_norm(x, params["ln_post_w"], params["ln_post_b"], cfg.layer_norm_eps)
-    return jnp.dot(x, params["proj"],
-                   preferred_element_type=jnp.float32).astype(images.dtype)
+    return qdot(x, params["proj"]).astype(images.dtype)

@@ -68,6 +68,9 @@ def extract_activations(metadata: list[dict], output_path: str,
     tokenizer = tokenizer or get_tokenizer(extract_cfg.model_dir, cfg)
     if params is None:
         params = load_or_init_params(extract_cfg.model_dir, cfg)
+    if extract_cfg.quantize_int8:
+        from tdax.models.qwen_vl.quantize import quantize_params
+        params = quantize_params(params)
     params = jax.device_put(params)
 
     tmp_path = output_path + ".tmp"
