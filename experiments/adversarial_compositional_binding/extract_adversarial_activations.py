@@ -29,8 +29,9 @@ def main() -> None:
     setup_runtime()
     toy = "--toy" in sys.argv
     ds = DatasetConfig(data_dir=os.path.join(PROJECT_ROOT, "data/physics_experiment_6x6"))
-    ecfg = ExtractConfig(model_dir=os.path.join(PROJECT_ROOT, "qwen-vl-chat-local"),
-                         save_interval=SAVE_INTERVAL)
+    ecfg = ExtractConfig(model_dir=None if toy else os.path.join(PROJECT_ROOT, "qwen-vl-chat-local"),
+                         save_interval=SAVE_INTERVAL,
+                         quantize_int8="--int8" in sys.argv)
     cfg = QwenVLConfig.tiny() if toy else QwenVLConfig()
 
     metadata = load_metadata(ds.adversarial_metadata_path)

@@ -12,6 +12,8 @@ Usage:
   python extract_activations.py           # real Qwen-VL-Chat from ./qwen-vl-chat-local
   python extract_activations.py --toy     # tiny random-weights model (no checkpoint
                                           # needed; smoke/e2e runs)
+  python extract_activations.py --int8    # weight-only int8 (full 9.66B model
+                                          # on ONE v5e chip)
 """
 
 import sys
@@ -27,7 +29,9 @@ def main() -> None:
     setup_runtime()
     toy = "--toy" in sys.argv
     ds = DatasetConfig()
-    ecfg = ExtractConfig()
+    # toy mode must never load a real checkpoint (shape mismatch)
+    ecfg = ExtractConfig(model_dir=None if toy else ExtractConfig.model_dir,
+                         quantize_int8="--int8" in sys.argv)
     cfg = QwenVLConfig.tiny() if toy else QwenVLConfig()
 
     print(f"Loading metadata from {ds.metadata_path}...")

@@ -22,7 +22,10 @@ from tdax.models.qwen_vl.vit import sincos_2d, visual_encode
 
 
 def _dense(key, shape, scale=None, dtype=jnp.float32):
-    scale = scale if scale is not None else 1.0 / math.sqrt(shape[0])
+    # fan-in init: for stacked [L, in, out] weights the input dim is
+    # shape[-2], not the layer axis
+    if scale is None:
+        scale = 1.0 / math.sqrt(shape[-2] if len(shape) > 1 else shape[0])
     return jax.random.normal(key, shape, dtype) * scale
 
 

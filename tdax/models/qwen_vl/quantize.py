@@ -77,3 +77,68 @@ def quantize_params(params: dict) -> dict:
 def quantized_bytes(params: dict) -> int:
     return sum(int(np.prod(p.shape)) * p.dtype.itemsize
                for p in jax.tree.leaves(params))
+
+
+def init_params_quantized(key: jax.Array, cfg, with_visual: bool = True) -> dict:
+    """Random-init the model DIRECTLY in int8 on device, leaf by leaf —
+    the bf16 tree never materializes (19.3 GB for the full config, over
+    one chip's HBM; peak here is the int8 tree + one fp transient).
+
+    Distribution-matches ``init_params``: same per-leaf scales (fan-in
+    matmuls, 0.02 embeddings), deterministic sincos positional tables,
+    unit norms, zero biases — so int8 and bf16 random-init runs are
+    comparable; dtypes follow the eval_shape tree (i.e. cfg.dtype)."""
+    import functools
+    import math
+
+    from tdax.models.qwen_vl.model import init_params
+    from tdax.models.qwen_vl.vit import sincos_2d
+
+    shapes = jax.eval_shape(lambda k: init_params(k, cfg, with_visual), key)
+
+    @functools.partial(jax.jit, static_argnames=("shape", "scale", "dtype"))
+    def gen_quant(k, shape, scale, dtype):
+        w = jax.random.normal(k, shape, jnp.dtype(dtype)) * scale
+        return quantize_weight(w)
+
+    @functools.partial(jax.jit, static_argnames=("shape", "kind", "dtype"))
+    def gen_plain(k, shape, kind, dtype):
+        dt = jnp.dtype(dtype)
+        if kind == "ones":
+            return jnp.ones(shape, dt)
+        if kind == "zeros":
+            return jnp.zeros(shape, dt)
+        return jax.random.normal(k, shape, dt) * 0.02
+
+    # leaves init_params draws at scale 0.02 rather than fan-in
+    _EMBED_SCALE = {"wte", "pos_embed", "query"}
+    _NORM_ONES = {"ln_1", "ln_2", "ln_f"}
+    counter = [0]
+
+    def build(tree):
+        out = {}
+        for name, v in tree.items():
+            if isinstance(v, dict):
+                out[name] = build(v)
+                continue
+            counter[0] += 1
+            sub = jax.random.fold_in(key, counter[0])
+            dt = str(v.dtype)
+            if name in ("q_pos", "kv_pos"):
+                # deterministic sincos tables, as in init_params
+                grid = int(math.isqrt(cfg.visual.n_queries)) if name == "q_pos" \
+                    else cfg.visual.grid_size
+                out[name] = jnp.asarray(sincos_2d(grid, cfg.visual.output_dim),
+                                        jnp.dtype(dt))
+            elif name in _QUANT_KEYS:
+                scale = 0.02 if name in _EMBED_SCALE else 1.0 / math.sqrt(v.shape[-2])
+                out[name] = gen_quant(sub, tuple(v.shape), scale, dt)
+            elif name in _NORM_ONES or (name.startswith("ln") and name.endswith("_w")):
+                out[name] = gen_plain(sub, tuple(v.shape), "ones", dt)
+            elif name.endswith("_b"):
+                out[name] = gen_plain(sub, tuple(v.shape), "zeros", dt)
+            else:
+                out[name] = gen_plain(sub, tuple(v.shape), "normal", dt)
+        return out
+
+    return build(shapes)

@@ -45,11 +45,15 @@ def _dp_sharding(n_batch: int):
     return None
 
 
+def _has_checkpoint(model_dir: str | None) -> bool:
+    return bool(model_dir) and os.path.isdir(model_dir) and any(
+        f.endswith((".bin", ".safetensors")) for f in os.listdir(model_dir))
+
+
 def load_or_init_params(model_dir: str | None, cfg: QwenVLConfig,
                         seed: int = 0) -> dict:
     """Converted checkpoint when available, random init otherwise."""
-    if model_dir and os.path.isdir(model_dir) and any(
-            f.endswith((".bin", ".safetensors")) for f in os.listdir(model_dir)):
+    if _has_checkpoint(model_dir):
         from tdax.models.qwen_vl.convert import load_qwen_checkpoint
         return load_qwen_checkpoint(model_dir, cfg)
     return init_params(jax.random.PRNGKey(seed), cfg)
@@ -67,8 +71,15 @@ def extract_activations(metadata: list[dict], output_path: str,
     extract_cfg = extract_cfg or ExtractConfig()
     tokenizer = tokenizer or get_tokenizer(extract_cfg.model_dir, cfg)
     if params is None:
-        params = load_or_init_params(extract_cfg.model_dir, cfg)
+        if extract_cfg.quantize_int8 and not _has_checkpoint(extract_cfg.model_dir):
+            # random init straight into int8 on device: the full-config
+            # bf16 tree would not fit one chip's HBM
+            from tdax.models.qwen_vl.quantize import init_params_quantized
+            params = init_params_quantized(jax.random.PRNGKey(0), cfg)
+        else:
+            params = load_or_init_params(extract_cfg.model_dir, cfg)
     if extract_cfg.quantize_int8:
+        # no-op on already-quantized leaves
         from tdax.models.qwen_vl.quantize import quantize_params
         params = quantize_params(params)
     params = jax.device_put(params)

@@ -75,3 +75,22 @@ def test_quantized_forward_fidelity():
     lq = np.asarray(forward(qparams, CFG, ids, mask))
     ld = np.asarray(forward(deq, CFG, ids, mask))
     np.testing.assert_allclose(lq, ld, rtol=5e-4, atol=5e-3)
+
+
+def test_init_params_quantized_structure():
+    from tdax.models.qwen_vl.quantize import init_params_quantized, is_quantized
+    q = init_params_quantized(jax.random.PRNGKey(0), CFG)
+    assert is_quantized(q["layers"]["attn_qkv_w"]) and is_quantized(q["wte"])
+    assert not is_quantized(q["layers"]["ln_1"])
+    assert np.allclose(np.asarray(q["layers"]["ln_1"], np.float32), 1.0)
+    assert np.allclose(np.asarray(q["layers"]["attn_qkv_b"], np.float32), 0.0)
+    # shapes match the fp tree
+    fp = init_params(jax.random.PRNGKey(0), CFG)
+    def shape_of(t):
+        return t["q"].shape if is_quantized(t) else t.shape
+    assert shape_of(q["layers"]["mlp_w1"]) == fp["layers"]["mlp_w1"].shape
+    # the quantized tree drives the forward
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(1, CFG.vocab_size, (1, 8)).astype(np.int32))
+    out = forward(q, CFG, ids)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
