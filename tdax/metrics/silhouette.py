@@ -25,7 +25,9 @@ def silhouette_jax(x: jnp.ndarray, labels: jnp.ndarray, n_classes: int) -> jnp.n
 
     onehot = jax.nn.one_hot(labels, n_classes, dtype=x.dtype)       # [n, C]
     counts = jnp.sum(onehot, axis=0)                                # [C]
-    sums = dist @ onehot                                            # [n, C] sum dist to each class
+    # HIGHEST precision: TPU MXU matmuls default to bf16 multiplies,
+    # which breaks the 1e-5 sklearn-parity bar (tiny matrices; free)
+    sums = jnp.dot(dist, onehot, precision=jax.lax.Precision.HIGHEST)
 
     own_count = counts[labels]                                      # [n]
     own_sum = jnp.take_along_axis(sums, labels[:, None], axis=1)[:, 0]

@@ -60,7 +60,10 @@ def pairwise_sq_euclidean(x: jnp.ndarray, exact: bool = False) -> jnp.ndarray:
         diff = x[:, None, :] - x[None, :, :]
         return jnp.sum(diff * diff, axis=-1)
     sq = jnp.sum(x * x, axis=-1)
-    g = jnp.dot(x, x.T, preferred_element_type=jnp.float32)
+    # HIGHEST: TPU f32 matmuls otherwise use bf16 passes (~1e-3 relative),
+    # visible in distance values against the 1e-5 parity bars
+    g = jnp.dot(x, x.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     d2 = sq[:, None] + sq[None, :] - 2.0 * g
     return jnp.maximum(d2, 0.0)
 
@@ -78,7 +81,8 @@ def pairwise_cosine(x: jnp.ndarray) -> jnp.ndarray:
     """Cosine distance matrix 1 - cos(x_i, x_j), diagonal exactly 0."""
     norms = jnp.linalg.norm(x, axis=-1, keepdims=True)
     xn = x / jnp.maximum(norms, 1e-30)
-    sim = jnp.dot(xn, xn.T, preferred_element_type=jnp.float32)
+    sim = jnp.dot(xn, xn.T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     d = jnp.clip(1.0 - sim, 0.0, 2.0)
     return d * (1.0 - jnp.eye(x.shape[0], dtype=d.dtype))
 

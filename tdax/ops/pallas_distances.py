@@ -32,8 +32,10 @@ def _sqdist_kernel(x_ref, y_ref, xsq_ref, ysq_ref, out_ref, acc_ref):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    acc_ref[:] += jnp.dot(x_ref[:], y_ref[:].T,
-                          preferred_element_type=jnp.float32)
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], y_ref[:].T, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)  # true f32: distance parity
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():

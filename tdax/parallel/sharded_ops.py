@@ -29,7 +29,7 @@ def sharded_pairwise_sq_euclidean(x: jnp.ndarray, mesh: Mesh,
         # x_rows: [n/p, d] local rows; x_full: [n, d] replicated
         sq_r = jnp.sum(x_rows * x_rows, axis=1, keepdims=True)
         sq_f = jnp.sum(x_full * x_full, axis=1, keepdims=True)
-        g = jnp.dot(x_rows, x_full.T, preferred_element_type=jnp.float32)
+        g = jnp.dot(x_rows, x_full.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         return jnp.maximum(sq_r + sq_f.T - 2.0 * g, 0.0)
 
     fn = shard_map(block, mesh=mesh,
@@ -49,12 +49,13 @@ def sharded_knn(x: jnp.ndarray, k: int, mesh: Mesh, axis: str = "dp",
         if metric == "cosine":
             xr = x_rows / jnp.maximum(jnp.linalg.norm(x_rows, axis=1, keepdims=True), 1e-30)
             xf = x_full / jnp.maximum(jnp.linalg.norm(x_full, axis=1, keepdims=True), 1e-30)
-            d = jnp.clip(1.0 - jnp.dot(xr, xf.T, preferred_element_type=jnp.float32), 0.0, 2.0)
+            d = jnp.clip(1.0 - jnp.dot(xr, xf.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST), 0.0, 2.0)
         else:
             sq_r = jnp.sum(x_rows * x_rows, axis=1, keepdims=True)
             sq_f = jnp.sum(x_full * x_full, axis=1, keepdims=True)
             d = jnp.maximum(sq_r + sq_f.T - 2.0 * jnp.dot(
-                x_rows, x_full.T, preferred_element_type=jnp.float32), 0.0)
+                x_rows, x_full.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST), 0.0)
             d = jnp.sqrt(d)
         neg, idx = jax.lax.top_k(-d, k)
         return idx, -neg

@@ -75,7 +75,8 @@ def _select_threshold(xj, n: int, target_degree: int, sample: int = 512) -> floa
     def sample_dists(xs, xf):
         sq_r = jnp.sum(xs * xs, axis=1, keepdims=True)
         sq_f = jnp.sum(xf * xf, axis=1, keepdims=True)
-        d2 = sq_r + sq_f.T - 2.0 * jnp.dot(xs, xf.T, preferred_element_type=jnp.float32)
+        d2 = sq_r + sq_f.T - 2.0 * jnp.dot(xs, xf.T, preferred_element_type=jnp.float32,
+                                           precision=jax.lax.Precision.HIGHEST)
         return jnp.sqrt(jnp.maximum(d2, 0.0))
 
     ds = np.asarray(sample_dists(xj[rows], xj))
@@ -113,7 +114,8 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
         sq_r = jnp.sum(x_rows * x_rows, axis=1, keepdims=True)
         sq_f = jnp.sum(x_full * x_full, axis=1, keepdims=True)
         d2 = sq_r + sq_f.T - 2.0 * jnp.dot(x_rows, x_full.T,
-                                           preferred_element_type=jnp.float32)
+                                           preferred_element_type=jnp.float32,
+                                           precision=jax.lax.Precision.HIGHEST)
         d = jnp.sqrt(jnp.maximum(d2, 0.0))
         rows_abs = row0 + jnp.arange(x_rows.shape[0])[:, None]
         cols = jnp.arange(x_full.shape[0])[None, :]
