@@ -54,31 +54,43 @@ def apply_rotary(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndar
     return jnp.concatenate([r1, r2], axis=-1).astype(x.dtype)
 
 
+def project_qkv(x: jnp.ndarray, layer: dict, cfg: QwenVLConfig,
+                cos: jnp.ndarray, sin: jnp.ndarray):
+    """x [B, T, H] -> rotated (q, k, v) each [B, T, nh, hd].  The single
+    source of the QKV math for the forward, capture, prefill, and decode
+    paths — keep them numerically identical by construction."""
+    b, t, _ = x.shape
+    qkv = qdot(x, layer["attn_qkv_w"]) + layer["attn_qkv_b"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    shape = (b, t, cfg.num_heads, cfg.head_dim)
+    q = apply_rotary(q.reshape(shape), cos, sin)
+    k = apply_rotary(k.reshape(shape), cos, sin)
+    return q, k, v.reshape(shape)
+
+
+def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+           mask: jnp.ndarray, layer: dict, cfg: QwenVLConfig) -> jnp.ndarray:
+    """Scaled masked attention + output projection.
+    q [B, Tq, nh, hd], k/v [B, Tk, nh, hd], mask additive broadcastable
+    to [B, nh, Tq, Tk]; returns [B, Tq, H]."""
+    b, tq = q.shape[0], q.shape[1]
+    scale = 1.0 / jnp.sqrt(jnp.float32(cfg.head_dim))
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    logits = logits + mask
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    out = out.reshape(b, tq, cfg.hidden_size)
+    return qdot(out, layer["attn_proj_w"])
+
+
 def attention(x: jnp.ndarray, layer: dict, cfg: QwenVLConfig,
               cos: jnp.ndarray, sin: jnp.ndarray,
               mask: jnp.ndarray) -> jnp.ndarray:
     """x [B, T, H]; mask [B, 1, T, T] additive (0 or -inf)."""
-    b, t, h = x.shape
-    nh, hd = cfg.num_heads, cfg.head_dim
-
-    qkv = qdot(x, layer["attn_qkv_w"]) + layer["attn_qkv_b"]
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    q = q.reshape(b, t, nh, hd)
-    k = k.reshape(b, t, nh, hd)
-    v = v.reshape(b, t, nh, hd)
-
-    q = apply_rotary(q, cos, sin)
-    k = apply_rotary(k, cos, sin)
-
-    scale = 1.0 / jnp.sqrt(jnp.float32(hd))
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    logits = logits + mask
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
-    out = out.reshape(b, t, h)
-    return qdot(out, layer["attn_proj_w"])
+    q, k, v = project_qkv(x, layer, cfg, cos, sin)
+    return attend(q, k, v, mask, layer, cfg)
 
 
 def mlp(x: jnp.ndarray, layer: dict) -> jnp.ndarray:

@@ -6,9 +6,15 @@ that builds per-layer K/V caches from the (multimodal) prompt, then a
 ``lax.scan`` decode loop — one token per step, static cache shapes,
 everything inside a single jitted program.
 
-Cache layout: k/v [n_layers, B, T_max, n_heads, head_dim]; attention in
-the decode step masks positions > current. Works with fp or int8
-(qdot) parameter trees.
+All attention math goes through the decoder's shared ``project_qkv`` /
+``attend`` helpers, so forward, capture, prefill, and decode stay
+numerically identical by construction.
+
+Cache layout: k/v [n_layers, B, T_max, n_heads, head_dim]; ragged
+batches keep per-sample timelines (writes at ``lengths[b] + step``, so
+rotary positions are gapless and stale pad K/V is overwritten exactly
+one step before it becomes attendable).  Works with fp or int8 (qdot)
+parameter trees.
 """
 
 from __future__ import annotations
@@ -19,34 +25,18 @@ import jax
 import jax.numpy as jnp
 
 from tdax.models.qwen_vl.config import QwenVLConfig
-from tdax.models.qwen_vl.decoder import (apply_rotary, causal_mask, mlp,
-                                         rms_norm, rotary_cos_sin)
+from tdax.models.qwen_vl.decoder import (attend, causal_mask, mlp,
+                                         project_qkv, rms_norm,
+                                         rotary_cos_sin)
 from tdax.models.qwen_vl.model import embed_inputs
-from tdax.models.qwen_vl.quantize import qdot
-
-
-def _attn_proj(x, layer, cfg):
-    b, t, _ = x.shape
-    qkv = qdot(x, layer["attn_qkv_w"]) + layer["attn_qkv_b"]
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    shape = (b, t, cfg.num_heads, cfg.head_dim)
-    return q.reshape(shape), k.reshape(shape), v.reshape(shape)
+from tdax.models.qwen_vl.quantize import embed_lookup, qdot
 
 
 def _prefill_block(x, layer, cfg, cos, sin, mask):
     """Block forward that also returns this layer's rotated K and V."""
     h = rms_norm(x, layer["ln_1"], cfg.layer_norm_eps)
-    q, k, v = _attn_proj(h, layer, cfg)
-    q = apply_rotary(q, cos, sin)
-    k = apply_rotary(k, cos, sin)
-    scale = 1.0 / jnp.sqrt(jnp.float32(cfg.head_dim))
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * scale + mask
-    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
-    out = out.reshape(x.shape)
-    x = x + qdot(out, layer["attn_proj_w"])
+    q, k, v = project_qkv(h, layer, cfg, cos, sin)
+    x = x + attend(q, k, v, mask, layer, cfg)
     x = x + mlp(rms_norm(x, layer["ln_2"], cfg.layer_norm_eps), layer)
     return x, k, v
 
@@ -80,9 +70,6 @@ def _decode_step(params, cfg: QwenVLConfig, tok, cur_pos, ks, vs):
     (lengths + step — shorter prompts keep their own timeline, no pad
     gaps in rotary or cache).  Returns (logits [B, vocab], updated
     caches)."""
-    from tdax.models.qwen_vl.quantize import embed_lookup
-
-    b = tok.shape[0]
     x = embed_lookup(params["wte"], tok[:, None], jnp.dtype(cfg.dtype))  # [B,1,H]
     cos, sin = rotary_cos_sin(cur_pos[:, None], cfg.head_dim, cfg.rope_base)
     t_max = ks.shape[2]  # [L, B, T, nh, hd]
@@ -98,22 +85,12 @@ def _decode_step(params, cfg: QwenVLConfig, tok, cur_pos, ks, vs):
         h = carry
         layer, k_cache, v_cache = inputs
         hh = rms_norm(h, layer["ln_1"], cfg.layer_norm_eps)
-        q, k, v = _attn_proj(hh, layer, cfg)
-        q = apply_rotary(q, cos, sin)
-        k = apply_rotary(k, cos, sin)
+        q, k, v = project_qkv(hh, layer, cfg, cos, sin)
         k_cache = (k_cache * (1.0 - write4)
                    + k.astype(k_cache.dtype) * write4).astype(k_cache.dtype)
         v_cache = (v_cache * (1.0 - write4)
                    + v.astype(v_cache.dtype) * write4).astype(v_cache.dtype)
-        scale = 1.0 / jnp.sqrt(jnp.float32(cfg.head_dim))
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k_cache,
-                            preferred_element_type=jnp.float32) * scale
-        logits = logits + add_mask
-        probs = jax.nn.softmax(logits, axis=-1).astype(h.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v_cache,
-                         preferred_element_type=jnp.float32).astype(h.dtype)
-        out = out.reshape(h.shape)
-        h = h + qdot(out, layer["attn_proj_w"])
+        h = h + attend(q, k_cache, v_cache, add_mask, layer, cfg)
         h = h + mlp(rms_norm(h, layer["ln_2"], cfg.layer_norm_eps), layer)
         return h, (k_cache, v_cache)
 
@@ -154,15 +131,20 @@ def generate(params, cfg: QwenVLConfig, input_ids, attn_mask,
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return jax.random.categorical(k, logits / temperature, axis=-1).astype(jnp.int32)
 
-    tok0 = pick(first_logits, key)
+    key, k0 = jax.random.split(key)  # never reuse a consumed key
+    tok0 = pick(first_logits, k0)
+    if max_new_tokens == 1:
+        return tok0[:, None]
 
     def loop(carry, i):
         tok, ks, vs, k = carry
         k, sub = jax.random.split(k)
         logits, ks, vs = _decode_step(params, cfg, tok, lengths + i, ks, vs)
         nxt = pick(logits, sub)
-        return (nxt, ks, vs, k), tok
+        return (nxt, ks, vs, k), nxt
 
+    # emit the NEXT token each step: max_new_tokens-1 decode steps total,
+    # no discarded trailing step
     (_, _, _, _), toks = jax.lax.scan(
-        loop, (tok0, ks, vs, key), jnp.arange(max_new_tokens, dtype=jnp.int32))
-    return jnp.transpose(toks, (1, 0))  # [B, max_new_tokens]
+        loop, (tok0, ks, vs, key), jnp.arange(max_new_tokens - 1, dtype=jnp.int32))
+    return jnp.concatenate([tok0[:, None], jnp.transpose(toks, (1, 0))], axis=1)
