@@ -50,6 +50,8 @@ def main() -> None:
         print(json.dumps({"stage": "sparse_knn_csr_ph", "thresh": round(out["thresh"], 4),
                           "n_edges": out["n_edges"],
                           "bars": [int(len(g)) for g in out["dgms"]],
+                          "timings": {k: round(vv, 2)
+                                      for k, vv in out.get("timings", {}).items()},
                           "value": round(total, 2), "unit": "s"}))
         print(json.dumps({"metric": f"rips_scale_{n}pts_maxdim{maxdim}_sparse",
                           "value": round(total, 2), "unit": "s",

@@ -30,6 +30,11 @@ from tdax.models.qwen_vl.preprocess import load_image_batch
 from tdax.models.qwen_vl.tokenizer import batch_encode, get_tokenizer
 
 
+# number of XLA traces of the batched forward in the most recent
+# extract_activations() call; tests assert it stays 1 for ragged datasets
+LAST_TRACE_COUNT = 0
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -111,8 +116,11 @@ def extract_activations(metadata: list[dict], output_path: str,
     enc_mask = np.pad(encoded["attn_mask"], ((0, 0), (0, pad)))
     row_of = {m["id"]: j for j, m in enumerate(metadata)}
 
+    trace_count = [0]
+
     @functools.partial(jax.jit, static_argnames=())
     def run(p, ids, mask, last_idx, images, img_pos):
+        trace_count[0] += 1  # python body runs once per XLA trace
         return extract_layer_activations(p, cfg, ids, mask, last_idx,
                                          images, img_pos)
 
@@ -123,16 +131,21 @@ def extract_activations(metadata: list[dict], output_path: str,
     since_save = 0
     for start in range(0, len(todo), bs):
         chunk = todo[start:start + bs]
-        rows = np.asarray([row_of[m["id"]] for m in chunk])
+        # pad the ragged final chunk back up to batch_size by repeating its
+        # first row: one static shape -> one XLA compile, dp sharding kept
+        # for the tail; padded results are sliced off below.
+        rows = np.asarray([row_of[m["id"]] for m in chunk]
+                          + [row_of[chunk[0]["id"]]] * (bs - len(chunk)))
         image_paths = [encoded["image_paths"][r] for r in rows]
         images = load_image_batch(image_paths, cfg.visual.image_size)
 
         args = [enc_ids[rows], enc_mask[rows],
                 encoded["last_token_idx"][rows],
                 images.astype(np.float32), encoded["image_positions"][rows]]
-        if dp_shard is not None and len(chunk) == bs:
+        if dp_shard is not None:
             args = [jax.device_put(a, dp_shard) for a in args]
-        acts = np.asarray(run(params, *args), dtype=np.float32)  # [L, b, H]
+        acts = np.asarray(run(params, *args), dtype=np.float32)  # [L, bs, H]
+        acts = acts[:, :len(chunk)]
 
         collected.append(acts)
         collected_ids.extend(m["id"] for m in chunk)
@@ -147,6 +160,9 @@ def extract_activations(metadata: list[dict], output_path: str,
             since_save = 0
             if verbose:
                 print(f"Checkpoint: Saving {len(collected_ids)} samples...")
+
+    global LAST_TRACE_COUNT
+    LAST_TRACE_COUNT = trace_count[0]
 
     all_acts = np.concatenate(collected, axis=1) if collected else np.zeros(
         (cfg.num_layers, 0, cfg.hidden_size), np.float32)

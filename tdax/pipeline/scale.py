@@ -84,6 +84,38 @@ def _select_threshold(xj, n: int, target_degree: int, sample: int = 512) -> floa
     return float(np.median(kth))
 
 
+def _fused_extract_small(xj, n: int, target_degree: int, sample: int,
+                         budget: int):
+    """One device program for n small enough to hold the full [n, n]
+    matrix: sample-row threshold selection AND thresholded edge
+    extraction fused into a single dispatch (the TPU relay charges a
+    round-trip per dispatch, so dispatch count — not FLOPs — dominates
+    small-n wall-clock)."""
+    import jax
+    import jax.numpy as jnp
+
+    rows = jnp.asarray(np.linspace(0, n - 1, min(sample, n)).astype(np.int32))
+
+    @functools.partial(jax.jit, static_argnames=("size",))
+    def fused(xf, size):
+        sq = jnp.sum(xf * xf, axis=1)
+        d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.dot(
+            xf, xf.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        d = jnp.sqrt(jnp.maximum(d2, 0.0))
+        d = (d + d.T) * jnp.float32(0.5)
+        kth = -jax.lax.top_k(-d[rows], target_degree + 1)[0][:, -1]
+        t = jnp.median(kth)
+        eye = jnp.arange(n)
+        mask = (d <= t) & (eye[:, None] != eye[None, :])
+        count = jnp.sum(mask)
+        r, c = jnp.nonzero(mask, size=size, fill_value=-1)
+        vals = d[jnp.maximum(r, 0), jnp.maximum(c, 0)]
+        return r, c, vals, count, t
+
+    return fused(xj, budget)
+
+
 def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
                          target_degree: int = 40, mesh=None,
                          degree_headroom: float = 4.0,
@@ -98,14 +130,48 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
     single 16 GB chip).  Exact by construction: the mask covers all
     pairs <= thresh, and an overflow of the per-block edge budget raises
     instead of truncating."""
+    import time
+
     import jax
     import jax.numpy as jnp
 
     from tdax.ops.rips.sparse import rips_sparse
 
+    timings: dict[str, float] = {}
     xj = jnp.asarray(np.asarray(x), dtype=jnp.float32)
     n = xj.shape[0]
+
+    if n <= 16384:
+        # single fused dispatch: threshold + edges in one device program
+        t0 = time.time()
+        budget = int(n * target_degree * degree_headroom)
+        r, c, v, count, t = _fused_extract_small(
+            xj, n, target_degree, 512, budget)
+        count = int(count)
+        if count > budget:
+            raise ValueError(f"edge budget overflow: {count} > {budget}; "
+                             f"raise degree_headroom")
+        thresh = float(t)
+        r = np.asarray(r)[:count].astype(np.int64)
+        c = np.asarray(c)[:count].astype(np.int32)
+        v = np.asarray(v)[:count].astype(np.float32)
+        timings["extract_s"] = time.time() - t0
+
+        t0 = time.time()
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(indptr, r + 1, 1)
+        np.cumsum(indptr, out=indptr)
+        timings["csr_s"] = time.time() - t0
+
+        t0 = time.time()
+        dgms = rips_sparse(indptr, c, v, maxdim=maxdim)
+        timings["engine_s"] = time.time() - t0
+        return {"dgms": dgms, "thresh": thresh, "n_edges": int(len(c)) // 2,
+                "timings": timings}
+
+    t0 = time.time()
     thresh = _select_threshold(xj, n, target_degree)
+    timings["thresh_s"] = time.time() - t0
     block_rows = min(block_rows, n)
     block_budget = int(block_rows * target_degree * degree_headroom)
 
@@ -125,15 +191,22 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
         vals = d[jnp.maximum(r, 0), jnp.maximum(c, 0)]
         return r, c, vals, count
 
-    rs, cs, vs = [], [], []
+    # dispatch every block before fetching any: JAX dispatch is async, so
+    # the device pipeline hides per-dispatch relay latency behind compute
+    t0 = time.time()
+    pending = []
     for row0 in range(0, n, block_rows):
         hi = min(row0 + block_rows, n)
         # static shapes: pad the tail block by reusing leading rows, then
         # drop their (duplicate) edges host-side
         pad = block_rows - (hi - row0)
         rows_slice = jnp.concatenate([xj[row0:hi], xj[:pad]]) if pad else xj[row0:hi]
-        r, c, v, count = extract_block(rows_slice, xj, jnp.int32(row0),
-                                       jnp.float32(thresh), block_budget)
+        pending.append((row0, hi, extract_block(rows_slice, xj, jnp.int32(row0),
+                                                jnp.float32(thresh), block_budget)))
+    timings["dispatch_s"] = time.time() - t0
+
+    rs, cs, vs = [], [], []
+    for row0, hi, (r, c, v, count) in pending:
         count = int(count)
         if count > block_budget:
             raise ValueError(f"edge budget overflow in block {row0}: "
@@ -145,7 +218,9 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
         rs.append((r[keep] + row0).astype(np.int64))
         cs.append(c[keep].astype(np.int32))
         vs.append(v[keep].astype(np.float32))
+    timings["extract_s"] = time.time() - t0
 
+    t0 = time.time()
     r = np.concatenate(rs)
     c = np.concatenate(cs)
     v = np.concatenate(vs)
@@ -154,6 +229,10 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
     indptr = np.zeros(n + 1, dtype=np.int64)
     np.add.at(indptr, r + 1, 1)
     np.cumsum(indptr, out=indptr)
+    timings["csr_s"] = time.time() - t0
 
+    t0 = time.time()
     dgms = rips_sparse(indptr, c, v, maxdim=maxdim)
-    return {"dgms": dgms, "thresh": thresh, "n_edges": int(len(c)) // 2}
+    timings["engine_s"] = time.time() - t0
+    return {"dgms": dgms, "thresh": thresh, "n_edges": int(len(c)) // 2,
+            "timings": timings}

@@ -60,6 +60,27 @@ def test_extract_deterministic_and_image_sensitive(dataset, tmp_path):
                            r1[other]["activations"]["layer_2"])
 
 
+def test_ragged_final_batch_single_compile(dataset, tmp_path):
+    """A dataset size not divisible by batch_size must still compile the
+    batched forward exactly once (tail padded to batch_size, padding
+    sliced off) and produce per-sample results identical to a
+    divisible-size run."""
+    import tdax.pipeline.extract as ex
+    ds, metadata = dataset
+    kw = dict(cfg=CFG, extract_cfg=ExtractConfig(model_dir=None, batch_size=4,
+                                                 save_interval=100),
+              verbose=False)
+    ragged = extract_activations(metadata[:10], str(tmp_path / "r.pt"), **kw)
+    assert ex.LAST_TRACE_COUNT == 1
+    assert len(ragged) == 10
+    even = extract_activations(metadata[:12], str(tmp_path / "e.pt"), **kw)
+    assert ex.LAST_TRACE_COUNT == 1
+    for sid in list(ragged)[:10]:
+        np.testing.assert_allclose(ragged[sid]["activations"]["layer_2"],
+                                   even[sid]["activations"]["layer_2"],
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_checkpoint_resume(dataset, tmp_path):
     """The reference's crash-recovery contract: a .tmp checkpoint written
     mid-run is resumed by sample id and removed on success."""
