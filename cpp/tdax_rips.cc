@@ -34,7 +34,10 @@
 #include <cstring>
 #include <limits>
 #include <queue>
+#include <thread>
 #include <vector>
+
+#include "tdax_threads.h"
 
 // Value-type parameterization: the same TU compiles as the f64 engine
 // (default) or, with TDAX_VALUE_T/TDAX_ENTRY set, as the f32 engine
@@ -49,6 +52,10 @@
 #endif
 
 namespace {
+
+using tdax_threads::parallel_sort;
+using tdax_threads::run_chunks;
+using tdax_threads::thread_count;
 
 using index_t = int64_t;
 using value_t = TDAX_VALUE_T;
@@ -283,7 +290,9 @@ class RipsEngine {
         value_t dij = d(i, j);
         if (dij <= thresh_) edges.push_back({dij, edge_index(i, j)});
       }
-    std::sort(edges.begin(), edges.end(), ascending);
+    parallel_sort(edges, [](const DiamIdx& a, const DiamIdx& b) {
+      return ascending(a, b);
+    });
 
     UF uf(n_);
     std::vector<DiamIdx> positive;
@@ -342,34 +351,60 @@ class RipsEngine {
     }
   }
 
-  // Fast phase-1 probe: find the FIRST (ascending w == ascending colex)
-  // cofacet with diameter equal to the simplex diameter, touching only
-  // the p+1 contiguous distance rows — no bitsets, no per-w encode.
-  // Returns 0 = none exists, 1 = emergent (unowned; *out_idx set),
-  // 2 = owned (full reduction required).
-  int probe_emergent(index_t idx, value_t diam, int p,
-                     const PivotMap& pivots, index_t* out_idx) const {
+  // Phase-A probe: find the FIRST (ascending w == ascending colex)
+  // cofacet with diameter equal to the simplex diameter — the minimal
+  // (diam, idx) entry of the raw coboundary whenever an equal-diameter
+  // cofacet exists — touching only the p+1 contiguous distance rows;
+  // no bitsets, no per-w encode.  Independent of the pivot map, so it
+  // parallelizes over columns.  With check_apparent, additionally test
+  // the apparent-pair condition (σ is also the maximal equal-diameter
+  // facet of τ): apparent pairs are persistence pairs of the
+  // filtration, claimable without any map lookup.
+  void find_candidate(const DiamIdx& col, int p, bool check_apparent,
+                      index_t* out_cand, uint8_t* out_apparent) const {
     index_t verts[4];
-    decode(idx, p, verts);
+    decode(col.idx, p, verts);
     const value_t* rows[4];
     for (int i = 0; i <= p; ++i) rows[i] = dist_ + verts[i] * n_;
+    *out_cand = -1;
+    *out_apparent = 0;
+    index_t w_found = -1;
     for (index_t w = 0; w < n_; ++w) {
       value_t m = rows[0][w];
       for (int i = 1; i <= p; ++i) m = std::max(m, rows[i][w]);
-      if (m > diam) continue;  // cofacet diam = max(diam, m) > diam
+      if (m > col.diam) continue;  // cofacet diam = max(diam, m) > diam
       bool member = false;
       for (int i = 0; i <= p; ++i) member |= (w == verts[i]);
       if (member) continue;
-      index_t nv[5];
-      int pos = 0;
-      while (pos <= p && verts[pos] > w) { nv[pos] = verts[pos]; ++pos; }
-      nv[pos] = w;
-      for (int i = pos; i <= p; ++i) nv[i + 1] = verts[i];
-      index_t cidx = encode(nv, p + 2);
-      *out_idx = cidx;
-      return pivots.find(cidx) < 0 ? 1 : 2;
+      w_found = w;
+      break;
     }
-    return 0;
+    if (w_found < 0) return;
+    index_t tv[5];
+    int pos = 0;
+    while (pos <= p && verts[pos] > w_found) { tv[pos] = verts[pos]; ++pos; }
+    tv[pos] = w_found;
+    for (int i = pos; i <= p; ++i) tv[i + 1] = verts[i];
+    *out_cand = encode(tv, p + 2);
+    if (!check_apparent) return;  // one map lookup beats the facet scan
+
+    const int m = p + 2;  // τ vertex count; facet diam <= τ diam always
+    index_t fv[4];
+    for (int u = 0; u < m; ++u) {
+      if (tv[u] == w_found) continue;  // that facet IS σ
+      value_t fdiam = 0;
+      for (int i = 0; i < m; ++i) {
+        if (i == u) continue;
+        for (int j = i + 1; j < m; ++j)
+          if (j != u) fdiam = std::max(fdiam, d(tv[i], tv[j]));
+      }
+      if (fdiam != col.diam) continue;
+      int k = 0;
+      for (int i = 0; i < m; ++i)
+        if (i != u) fv[k++] = tv[i];
+      if (encode(fv, p + 1) > col.idx) return;  // σ not maximal
+    }
+    *out_apparent = 1;
   }
 
   // --- reduction ----------------------------------------------------------------
@@ -411,11 +446,43 @@ class RipsEngine {
   void reduce_dimension(int p, std::vector<DiamIdx>& columns,
                         std::vector<Bar>& bars, PivotMap& pivots) {
     // decreasing (diam, idx)
-    std::sort(columns.begin(), columns.end(),
-              [](const DiamIdx& a, const DiamIdx& b) { return ascending(b, a); });
+    parallel_sort(columns, [](const DiamIdx& a, const DiamIdx& b) {
+      return ascending(b, a);
+    });
 
-    std::vector<std::vector<DiamIdx>> v_columns;
-    v_columns.reserve(columns.size());
+    // Phase A (parallel, lock-free): the minimal raw coboundary entry
+    // of each column when an equal-diameter cofacet exists, plus the
+    // apparent-pair flag under multithreading — a pure function of the
+    // filtration, independent of the pivot map.
+    const bool check_apparent = thread_count() > 1;
+    std::vector<index_t> cand(columns.size());
+    std::vector<uint8_t> apparent(columns.size());
+#ifdef TDAX_PROF
+    auto _t0 = std::chrono::steady_clock::now();
+#endif
+    run_chunks(columns.size(), 1024, [&](size_t lo, size_t hi) {
+      for (size_t ci = lo; ci < hi; ++ci)
+        find_candidate(columns[ci], p, check_apparent,
+                       &cand[ci], &apparent[ci]);
+    });
+#ifdef TDAX_PROF
+    prof_probe += std::chrono::duration<double>(
+        std::chrono::steady_clock::now() - _t0).count();
+    prof_cols += static_cast<long>(columns.size());
+#endif
+
+    // Phase B (sequential commit): per claimed pivot id, the source
+    // column and — for full-reduced columns — the REMAINDER of the
+    // working coboundary after its pivot was popped, moved out of the
+    // heap in O(1).  A later column colliding on that pivot pushes the
+    // stored remainder directly instead of re-enumerating the cofacets
+    // of the owner's whole V-column (which made long chains quadratic).
+    std::vector<DiamIdx> owner_col;
+    std::vector<std::vector<DiamIdx>> owner_rem;
+    std::vector<uint8_t> owner_stored;
+    owner_col.reserve(columns.size());
+    owner_rem.reserve(columns.size());
+    owner_stored.reserve(columns.size());
 
     Heap heap;
     for (size_t ci = 0; ci < columns.size(); ++ci) {
@@ -423,35 +490,21 @@ class RipsEngine {
 #ifdef TDAX_DEBUG_STAGE
       TDAX_DEBUG_STAGE("column start");
 #endif
-
-      // Phase 1 — emergent-pair probe, zero heap work: cofacets arrive
-      // in ascending colex order, so the FIRST one with diam == col.diam
-      // is the minimal (diam, idx) entry of the raw column (all cofacet
-      // diameters are >= col.diam).  If it is unowned it IS the final
-      // pivot and the column is done without materializing anything.
-      // Only that first one qualifies: if owned, the shortcut is dead
-      // and the column is reduced in full.
-      index_t emergent_idx = -1;
+      // apparent pairs skip even the map lookup; otherwise the cached
+      // candidate is emergent iff still unowned (the first equal-diam
+      // cofacet is the minimal raw entry, so no re-enumeration needed)
+      if (cand[ci] >= 0 && (apparent[ci] || pivots.find(cand[ci]) < 0)) {
 #ifdef TDAX_PROF
-      auto _t0 = std::chrono::steady_clock::now();
+        prof_emergent += 1;
 #endif
-      bool emergent = probe_emergent(col.idx, col.diam, p, pivots,
-                                     &emergent_idx) == 1;
-#ifdef TDAX_PROF
-      prof_probe += std::chrono::duration<double>(
-          std::chrono::steady_clock::now() - _t0).count();
-      prof_cols += 1;
-      prof_emergent += emergent ? 1 : 0;
-#endif
-
-      if (emergent) {
-        v_columns.push_back({col});
-        pivots.insert(emergent_idx, static_cast<int64_t>(v_columns.size() - 1));
+        owner_col.push_back(col);
+        owner_rem.emplace_back();
+        owner_stored.push_back(0);
+        pivots.insert(cand[ci], static_cast<int64_t>(owner_col.size() - 1));
         continue;  // death == birth: no bar emitted
       }
 
-      // Phase 2 — full reduction: materialize the coboundary once,
-      // heapify in O(k).
+      // full reduction: materialize the coboundary once, heapify in O(k)
 #ifdef TDAX_PROF
       auto _t1 = std::chrono::steady_clock::now();
 #endif
@@ -467,7 +520,6 @@ class RipsEngine {
       _t1 = std::chrono::steady_clock::now();
 #endif
 
-      std::vector<DiamIdx> v_col{col};
       long dbg_iters = 0;
       (void)dbg_iters;
       while (true) {
@@ -477,21 +529,24 @@ class RipsEngine {
           // enclosing-radius mode (the complex cones off) — flag the
           // invariant violation so the caller fails loudly instead of
           // silently emitting a bogus infinite bar (mirrors the python
-          // oracle's AssertionError).
+          // oracle's AssertionError).  Owns no pivot, so it never
+          // participates in later additions.
           if (!essential_allowed_) invariant_violation_ = true;
           bars.push_back({static_cast<int32_t>(p), col.diam,
                           static_cast<value_t>(-1.0)});
-          v_columns.push_back(std::move(v_col));
           break;
         }
 #ifdef TDAX_DEBUG_HOOK
         ++dbg_iters;
-        TDAX_DEBUG_HOOK(col, dbg_iters, heap.size(), v_col.size(), pivot.diam, pivot.idx);
+        TDAX_DEBUG_HOOK(col, dbg_iters, heap.size(), 0, pivot.diam, pivot.idx);
 #endif
         int64_t owner = pivots.find(pivot.idx);
         if (owner < 0) {
-          v_columns.push_back(std::move(v_col));
-          pivots.insert(pivot.idx, static_cast<int64_t>(v_columns.size() - 1));
+          owner_col.push_back(col);
+          owner_rem.push_back(std::move(heap.buf));  // ≡ R(col) \ {pivot}
+          owner_stored.push_back(1);
+          heap.buf = std::vector<DiamIdx>();
+          pivots.insert(pivot.idx, static_cast<int64_t>(owner_col.size() - 1));
           if (pivot.diam > col.diam)
             bars.push_back({static_cast<int32_t>(p), col.diam, pivot.diam});
 #ifdef TDAX_PROF
@@ -503,14 +558,17 @@ class RipsEngine {
 #ifdef TDAX_PROF
         prof_additions += 1;
 #endif
-        // add owner's column: re-push pivot (cancels with owner's copy),
-        // then expand the owner's V-column coboundaries.  Reference is
-        // safe: v_columns only grows at claim time, never mid-expansion.
-        heap.push(pivot);
-        const std::vector<DiamIdx>& owner_col = v_columns[owner];
-        for (const DiamIdx& s : owner_col) {
-          v_col.push_back(s);
-          enumerate_cofacets(s.idx, s.diam, p, [&](value_t diam, index_t cidx) {
+        if (owner_stored[owner]) {
+          // W_new = (W \ {pivot}) + (R_owner \ {pivot}): the two pivot
+          // copies cancel mod 2, so neither is re-pushed
+          for (const DiamIdx& e : owner_rem[owner]) heap.push(e);
+        } else {
+          // claimed column: its R is the raw coboundary of its simplex,
+          // which regenerates the pivot — re-push ours so they cancel
+          heap.push(pivot);
+          const DiamIdx oc = owner_col[owner];
+          enumerate_cofacets(oc.idx, oc.diam, p,
+                             [&](value_t diam, index_t cidx) {
             if (diam <= thresh_) heap.push({diam, cidx});
             return true;
           });
@@ -522,56 +580,81 @@ class RipsEngine {
   // --- clearing: assemble next dimension's columns ---------------------------
 
   std::vector<DiamIdx> assemble_columns(int p, const PivotMap& pivots) const {
-    // enumerate all p-simplices <= thresh via edge extension with bitsets
-    std::vector<DiamIdx> out;
-    index_t verts[4];
-    std::vector<index_t> stack_verts;
-    // p == 2 (triangles) or p == 3 (tetrahedra); generic recursive grow
-    std::vector<uint64_t> inter(adj_->words());
-    std::function<void(std::vector<index_t>&, value_t, std::vector<uint64_t>&)> grow =
-        [&](std::vector<index_t>& cur, value_t diam, std::vector<uint64_t>& cand) {
-          if (static_cast<int>(cur.size()) == p + 1) {
-            for (size_t i = 0; i < cur.size(); ++i)
-              verts[i] = cur[cur.size() - 1 - i];  // descending
-            index_t idx = encode(verts, p + 1);
-            if (pivots.find(idx) < 0) out.push_back({diam, idx});
-            return;
-          }
-          index_t top = cur.back();
-          size_t words = adj_->words();
-          for (size_t wi = (top + 1) >> 6; wi < words; ++wi) {
-            uint64_t bitsw = cand[wi];
-            if (wi == static_cast<size_t>((top + 1) >> 6)) {
-              int shift = (top + 1) & 63;
-              bitsw &= ~((shift ? (1ULL << shift) : 1ULL) - 1ULL);
+    // enumerate all p-simplices <= thresh via edge extension with
+    // bitsets; pivots is read-only here, so starting-vertex chunks run
+    // in parallel with per-chunk output buffers.
+    int T = thread_count();
+    size_t n_parts = (T <= 1 || n_ < 512) ? 1 : static_cast<size_t>(T);
+    std::vector<std::vector<DiamIdx>> parts(n_parts);
+
+    auto work = [&](size_t part, index_t v_lo, index_t v_hi) {
+      std::vector<DiamIdx>& out = parts[part];
+      index_t verts[4];
+      // p == 2 (triangles) or p == 3 (tetrahedra); generic recursive grow
+      std::function<void(std::vector<index_t>&, value_t, std::vector<uint64_t>&)> grow =
+          [&](std::vector<index_t>& cur, value_t diam, std::vector<uint64_t>& cand) {
+            if (static_cast<int>(cur.size()) == p + 1) {
+              for (size_t i = 0; i < cur.size(); ++i)
+                verts[i] = cur[cur.size() - 1 - i];  // descending
+              index_t idx = encode(verts, p + 1);
+              if (pivots.find(idx) < 0) out.push_back({diam, idx});
+              return;
             }
-            while (bitsw) {
-              index_t w = static_cast<index_t>(wi * 64 + __builtin_ctzll(bitsw));
-              bitsw &= bitsw - 1;
-              value_t nd = diam;
-              bool ok = true;
-              for (index_t v : cur) {
-                value_t dv = d(v, w);
-                if (dv > thresh_) { ok = false; break; }
-                nd = std::max(nd, dv);
+            index_t top = cur.back();
+            size_t words = adj_->words();
+            for (size_t wi = (top + 1) >> 6; wi < words; ++wi) {
+              uint64_t bitsw = cand[wi];
+              if (wi == static_cast<size_t>((top + 1) >> 6)) {
+                int shift = (top + 1) & 63;
+                bitsw &= ~((shift ? (1ULL << shift) : 1ULL) - 1ULL);
               }
-              if (!ok) continue;
-              std::vector<uint64_t> ncand(words);
-              const uint64_t* rw = adj_->row(w);
-              for (size_t k = 0; k < words; ++k) ncand[k] = cand[k] & rw[k];
-              cur.push_back(w);
-              grow(cur, nd, ncand);
-              cur.pop_back();
+              while (bitsw) {
+                index_t w = static_cast<index_t>(wi * 64 + __builtin_ctzll(bitsw));
+                bitsw &= bitsw - 1;
+                value_t nd = diam;
+                bool ok = true;
+                for (index_t v : cur) {
+                  value_t dv = d(v, w);
+                  if (dv > thresh_) { ok = false; break; }
+                  nd = std::max(nd, dv);
+                }
+                if (!ok) continue;
+                std::vector<uint64_t> ncand(words);
+                const uint64_t* rw = adj_->row(w);
+                for (size_t k = 0; k < words; ++k) ncand[k] = cand[k] & rw[k];
+                cur.push_back(w);
+                grow(cur, nd, ncand);
+                cur.pop_back();
+              }
             }
-          }
-        };
-    std::vector<index_t> cur;
-    std::vector<uint64_t> cand(adj_->words());
-    for (index_t v = 0; v + p <= n_ - 1; ++v) {
-      cur = {v};
-      std::memcpy(cand.data(), adj_->row(v), adj_->words() * sizeof(uint64_t));
-      grow(cur, 0.0, cand);
+          };
+      std::vector<index_t> cur;
+      std::vector<uint64_t> cand(adj_->words());
+      for (index_t v = v_lo; v < v_hi && v + p <= n_ - 1; ++v) {
+        cur = {v};
+        std::memcpy(cand.data(), adj_->row(v), adj_->words() * sizeof(uint64_t));
+        grow(cur, 0.0, cand);
+      }
+    };
+
+    if (n_parts == 1) {
+      work(0, 0, n_);
+    } else {
+      std::vector<std::thread> ths;
+      index_t chunk = (n_ + n_parts - 1) / n_parts;
+      for (size_t part = 0; part < n_parts; ++part) {
+        index_t lo = part * chunk, hi = std::min<index_t>(n_, lo + chunk);
+        if (lo >= hi) break;
+        ths.emplace_back(work, part, lo, hi);
+      }
+      for (auto& th : ths) th.join();
     }
+    size_t total = 0;
+    for (const auto& pt : parts) total += pt.size();
+    std::vector<DiamIdx> out;
+    out.reserve(total);
+    for (const auto& pt : parts)
+      out.insert(out.end(), pt.begin(), pt.end());
     return out;
   }
 

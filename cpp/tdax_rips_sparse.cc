@@ -18,12 +18,26 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <limits>
+#include <thread>
 #include <vector>
 
+#include "tdax_threads.h"
+
 namespace tdax_sparse {
+
+using tdax_threads::parallel_sort;
+using tdax_threads::prof_enabled;
+using tdax_threads::run_chunks;
+using tdax_threads::thread_count;
+
+struct StageTimer : tdax_threads::StageTimer {
+  explicit StageTimer(const char* n)
+      : tdax_threads::StageTimer("tdax_sparse", n) {}
+};
 
 using index_t = int64_t;
 using value_t = float;  // values come from f32 device top-k lists
@@ -211,7 +225,7 @@ class SparseRips {
         index_t j = indices_[k];
         if (i < j) edges.push_back({data_[k], i, j});
       }
-    std::sort(edges.begin(), edges.end(), [this](const Edge& a, const Edge& b) {
+    parallel_sort(edges, [this](const Edge& a, const Edge& b) {
       if (a.d != b.d) return a.d < b.d;
       return edge_index(a.i, a.j) < edge_index(b.i, b.j);
     });
@@ -285,24 +299,78 @@ class SparseRips {
     });
   }
 
-  int probe_emergent(index_t idx, value_t diam, int p,
-                     const PivotMap& pivots, index_t* out_idx) const {
+  // --- phase A: map-free pivot candidate + apparent-pair detection ---------
+  // For column σ (a p-simplex), find its first equal-diameter cofacet τ
+  // — the minimal (diam, idx) entry of σ's raw coboundary whenever an
+  // equal-diameter cofacet exists (all cofacet diameters are >= diam σ,
+  // and ascending-w merge order == ascending colex index) — and check
+  // the apparent-pair condition: σ is also the maximal (diam, idx)
+  // facet of τ among its equal-diameter facets.  Apparent pairs are
+  // persistence pairs of the filtration (no facet of τ sorts above σ,
+  // so no earlier column's reduction can reach row τ): they are
+  // claimable without consulting the pivot map, which makes this whole
+  // phase a pure function of the filtration — embarrassingly parallel.
+  void find_candidate(const DiamIdx& col, int p, bool check_apparent,
+                      index_t* out_cand, uint8_t* out_apparent) const {
     index_t verts[4];
-    decode(idx, p, verts);
-    int result = 0;
-    index_t nv[5];
-    for_common_neighbors(verts, p + 1, diam, [&](value_t cdiam, index_t w) {
-      if (cdiam > diam) return true;  // only equal-diam candidates matter
-      int pos = 0;
-      while (pos <= p && verts[pos] > w) { nv[pos] = verts[pos]; ++pos; }
-      nv[pos] = w;
-      for (int i = pos; i <= p; ++i) nv[i + 1] = verts[i];
-      index_t cidx = encode(nv, p + 2);
-      *out_idx = cidx;
-      result = pivots.find(cidx) < 0 ? 1 : 2;
-      return false;  // first equal-diam settles it
+    decode(col.idx, p, verts);
+    index_t w_found = -1;
+    for_common_neighbors(verts, p + 1, col.diam, [&](value_t cd, index_t w) {
+      if (cd > col.diam) return true;
+      w_found = w;
+      return false;  // first equal-diam cofacet settles the candidate
     });
-    return result;
+    if (w_found < 0) {
+      *out_cand = -1;
+      *out_apparent = 0;
+      return;
+    }
+    if (!check_apparent) {
+      // single-threaded phase B resolves the claim with one pivot-map
+      // lookup, which is cheaper than the facet scan below; the scan
+      // only pays off by making claims map-free for parallel phase A.
+      index_t tv0[5];
+      int pos0 = 0;
+      while (pos0 <= p && verts[pos0] > w_found) { tv0[pos0] = verts[pos0]; ++pos0; }
+      tv0[pos0] = w_found;
+      for (int i = pos0; i <= p; ++i) tv0[i + 1] = verts[i];
+      *out_cand = encode(tv0, p + 2);
+      *out_apparent = 0;
+      return;
+    }
+    // τ vertices, descending
+    index_t tv[5];
+    int pos = 0;
+    while (pos <= p && verts[pos] > w_found) { tv[pos] = verts[pos]; ++pos; }
+    tv[pos] = w_found;
+    for (int i = pos; i <= p; ++i) tv[i + 1] = verts[i];
+    *out_cand = encode(tv, p + 2);
+
+    // apparent-pair check: every other equal-diameter facet of τ must
+    // sort below σ (facet diam <= τ diam == col.diam always)
+    const int m = p + 2;  // vertices of τ
+    value_t pd[5][5];
+    for (int i = 0; i < m; ++i)
+      for (int j = i + 1; j < m; ++j) pd[i][j] = d(tv[j], tv[i]);
+    index_t fv[4];
+    for (int u = 0; u < m; ++u) {
+      if (tv[u] == w_found) continue;  // that facet IS σ
+      value_t fdiam = 0;
+      for (int i = 0; i < m; ++i) {
+        if (i == u) continue;
+        for (int j = i + 1; j < m; ++j)
+          if (j != u) fdiam = std::max(fdiam, pd[i][j]);
+      }
+      if (fdiam != col.diam) continue;
+      int k = 0;
+      for (int i = 0; i < m; ++i)
+        if (i != u) fv[k++] = tv[i];
+      if (encode(fv, p + 1) > col.idx) {
+        *out_apparent = 0;
+        return;
+      }
+    }
+    *out_apparent = 1;
   }
 
   // --- reduction -----------------------------------------------------------------
@@ -341,20 +409,58 @@ class SparseRips {
 
   void reduce_dimension(int p, std::vector<DiamIdx>& columns,
                         std::vector<Bar>& bars, PivotMap& pivots) {
-    std::sort(columns.begin(), columns.end(),
-              [](const DiamIdx& a, const DiamIdx& b) { return ascending(b, a); });
+    {
+      StageTimer t(p == 1 ? "sort columns p=1" : "sort columns p>=2");
+      parallel_sort(columns, [](const DiamIdx& a, const DiamIdx& b) {
+        return ascending(b, a);  // decreasing (diam, idx)
+      });
+    }
 
-    std::vector<std::vector<DiamIdx>> v_columns;
-    v_columns.reserve(columns.size());
+    // phase A (parallel, lock-free): pivot candidates + apparent pairs
+    const bool check_apparent = thread_count() > 1;
+    std::vector<index_t> cand(columns.size());
+    std::vector<uint8_t> apparent(columns.size());
+    {
+      StageTimer t("phase A candidates");
+      run_chunks(columns.size(), 2048, [&](size_t lo, size_t hi) {
+        for (size_t ci = lo; ci < hi; ++ci)
+          find_candidate(columns[ci], p, check_apparent,
+                         &cand[ci], &apparent[ci]);
+      });
+    }
+
+    StageTimer t_b("phase B reduction");
+    size_t n_apparent = 0, n_emergent = 0, n_full = 0;
+    // per claimed pivot id: the source column, and (for full-reduced
+    // columns) the REMAINDER of its working coboundary after the pivot
+    // was popped — moved out of the heap in O(1) at claim time.  A later
+    // column that collides on this pivot adds the owner by pushing the
+    // stored remainder directly (the popped pivot and the owner's pivot
+    // copy cancel mod 2 by construction), instead of re-enumerating the
+    // cofacets of the owner's whole V-column — which turned long
+    // reduction chains quadratic.
+    std::vector<DiamIdx> owner_col;
+    std::vector<std::vector<DiamIdx>> owner_rem;
+    std::vector<uint8_t> owner_stored;
+    owner_col.reserve(columns.size());
+    owner_rem.reserve(columns.size());
+    owner_stored.reserve(columns.size());
     Heap heap;
 
-    for (const DiamIdx col : columns) {
-      index_t emergent_idx = -1;
-      if (probe_emergent(col.idx, col.diam, p, pivots, &emergent_idx) == 1) {
-        v_columns.push_back({col});
-        pivots.insert(emergent_idx, static_cast<int64_t>(v_columns.size() - 1));
+    for (size_t ci = 0; ci < columns.size(); ++ci) {
+      const DiamIdx col = columns[ci];
+      // apparent pairs skip even the map lookup; otherwise the cached
+      // candidate (the column's minimal raw entry) is emergent iff it
+      // is still unowned — no re-enumeration needed.
+      if (cand[ci] >= 0 && (apparent[ci] || pivots.find(cand[ci]) < 0)) {
+        apparent[ci] ? ++n_apparent : ++n_emergent;
+        owner_col.push_back(col);
+        owner_rem.emplace_back();
+        owner_stored.push_back(0);
+        pivots.insert(cand[ci], static_cast<int64_t>(owner_col.size() - 1));
         continue;
       }
+      ++n_full;
 
       heap.clear();
       enumerate_cofacets(col.idx, col.diam, p, [&](value_t diam, index_t cidx) {
@@ -363,44 +469,57 @@ class SparseRips {
       });
       heap.heapify();
 
-      std::vector<DiamIdx> v_col{col};
       while (true) {
         DiamIdx pivot;
         if (!pop_pivot(heap, pivot)) {
-          // essential class (legitimate under a finite threshold)
+          // essential class (legitimate under a finite threshold); owns
+          // no pivot, so it never participates in later additions
           bars.push_back({static_cast<int32_t>(p), col.diam, -1.0f});
-          v_columns.push_back(std::move(v_col));
           break;
         }
         int64_t owner = pivots.find(pivot.idx);
         if (owner < 0) {
-          v_columns.push_back(std::move(v_col));
-          pivots.insert(pivot.idx, static_cast<int64_t>(v_columns.size() - 1));
+          owner_col.push_back(col);
+          owner_rem.push_back(std::move(heap.buf));  // ≡ R(col) \ {pivot}
+          owner_stored.push_back(1);
+          heap.buf = std::vector<DiamIdx>();
+          pivots.insert(pivot.idx, static_cast<int64_t>(owner_col.size() - 1));
           if (pivot.diam > col.diam)
             bars.push_back({static_cast<int32_t>(p), col.diam, pivot.diam});
           break;
         }
-        heap.push(pivot);
-        const std::vector<DiamIdx>& owner_col = v_columns[owner];
-        for (const DiamIdx& s : owner_col) {
-          v_col.push_back(s);
-          enumerate_cofacets(s.idx, s.diam, p, [&](value_t diam, index_t cidx) {
+        if (owner_stored[owner]) {
+          // W_new = (W \ {pivot}) + (R_owner \ {pivot}): the two pivot
+          // copies cancel, so neither is re-pushed
+          for (const DiamIdx& e : owner_rem[owner]) heap.push(e);
+        } else {
+          // claimed column: R_owner = raw coboundary of its simplex,
+          // which regenerates the pivot — re-push ours so they cancel
+          heap.push(pivot);
+          const DiamIdx oc = owner_col[owner];
+          enumerate_cofacets(oc.idx, oc.diam, p,
+                             [&](value_t diam, index_t cidx) {
             heap.push({diam, cidx});
             return true;
           });
         }
       }
     }
+    if (prof_enabled())
+      fprintf(stderr,
+              "[tdax_sparse] dim %d: %zu cols = %zu apparent + %zu emergent "
+              "+ %zu full\n",
+              p, columns.size(), n_apparent, n_emergent, n_full);
   }
 
   // --- clearing: next dimension's columns -------------------------------------
 
   std::vector<DiamIdx> assemble_columns(int p, const PivotMap& pivots) const {
+    StageTimer t("assemble columns");
     // grow p-simplices from (p-1)-simplices by appending common neighbors
-    // larger than the top vertex (each simplex enumerated exactly once)
-    std::vector<DiamIdx> out;
-    index_t verts[5];
-    // enumerate (p-1)-simplices implicitly by recursive growth from edges
+    // larger than the top vertex (each simplex enumerated exactly once);
+    // pivots is read-only here, so vertex-chunks run in parallel with
+    // per-chunk output buffers.
     struct Grow {
       const SparseRips* self;
       int target_p;
@@ -427,16 +546,41 @@ class SparseRips {
         });
       }
     };
-    Grow grow{this, p, &pivots, &out};
-    for (index_t i = 0; i < n_; ++i)
-      for (index_t k = indptr_[i]; k < indptr_[i + 1]; ++k) {
-        index_t j = indices_[k];
-        if (i < j) {
-          verts[0] = i;
-          verts[1] = j;
-          grow(verts, 2, data_[k]);
+
+    int T = thread_count();
+    size_t n_parts = (T <= 1 || n_ < 2048) ? 1 : static_cast<size_t>(T);
+    std::vector<std::vector<DiamIdx>> parts(n_parts);
+    auto work = [&](size_t part, index_t v_lo, index_t v_hi) {
+      index_t verts[5];
+      Grow grow{this, p, &pivots, &parts[part]};
+      for (index_t i = v_lo; i < v_hi; ++i)
+        for (index_t k = indptr_[i]; k < indptr_[i + 1]; ++k) {
+          index_t j = indices_[k];
+          if (i < j) {
+            verts[0] = i;
+            verts[1] = j;
+            grow(verts, 2, data_[k]);
+          }
         }
+    };
+    if (n_parts == 1) {
+      work(0, 0, n_);
+    } else {
+      std::vector<std::thread> ths;
+      index_t chunk = (n_ + n_parts - 1) / n_parts;
+      for (size_t part = 0; part < n_parts; ++part) {
+        index_t lo = part * chunk, hi = std::min<index_t>(n_, lo + chunk);
+        if (lo >= hi) break;
+        ths.emplace_back(work, part, lo, hi);
       }
+      for (auto& th : ths) th.join();
+    }
+    size_t total = 0;
+    for (const auto& pt : parts) total += pt.size();
+    std::vector<DiamIdx> out;
+    out.reserve(total);
+    for (const auto& pt : parts)
+      out.insert(out.end(), pt.begin(), pt.end());
     return out;
   }
 

@@ -28,6 +28,7 @@ _build_failed = False
 def _build() -> bool:
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-march=native",
+        "-pthread",
         "-o", _SO_PATH, _SRC_PATH,
         os.path.join(_CPP_DIR, "tdax_rips_f32.cc"),
         os.path.join(_CPP_DIR, "tdax_rips_sparse.cc"),

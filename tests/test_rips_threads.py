@@ -1,0 +1,59 @@
+"""Multithreaded native reduction == single-threaded == python oracle.
+
+TDAX_THREADS activates the apparent-pair claim path (map-free, parallel
+phase A) in both native engines; it is latched per process, so the
+threaded run happens in a subprocess and its diagrams are diffed against
+the in-process single-threaded result.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tdax.ops.rips import rips
+from tdax.ops.rips.native import available
+
+_SCRIPT = r"""
+import json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")  # sitecustomize overrides env
+import numpy as np
+rng = np.random.default_rng(7)
+x = rng.normal(size=(48, 5))
+from tdax.ops.rips import rips
+out = rips(x, maxdim=2, backend="native")
+print(json.dumps([d.tolist() for d in out["dgms"]]))
+
+from tdax.pipeline.scale import rips_at_scale_sparse
+out = rips_at_scale_sparse(x.astype(np.float32), maxdim=2, target_degree=20)
+print(json.dumps([d.tolist() for d in out["dgms"]]))
+"""
+
+
+@pytest.mark.skipif(not available(), reason="native engine unavailable")
+def test_threaded_engines_match_single_threaded(tmp_path):
+    env = dict(os.environ, TDAX_THREADS="4", TDAX_FORCE_CPU="1")
+    proc = subprocess.run([sys.executable, "-c", _SCRIPT], env=env,
+                          capture_output=True, text=True, timeout=300,
+                          cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("[")]
+    dense_mt, sparse_mt = (json.loads(l) for l in lines[-2:])
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(48, 5))
+    dense_st = rips(x, maxdim=2, backend="native")["dgms"]
+    for got, want in zip(dense_mt, dense_st):
+        np.testing.assert_allclose(np.asarray(got).reshape(-1, 2), want,
+                                   rtol=0, atol=0)
+
+    from tdax.pipeline.scale import rips_at_scale_sparse
+    sparse_st = rips_at_scale_sparse(x.astype(np.float32), maxdim=2,
+                                     target_degree=20)["dgms"]
+    for got, want in zip(sparse_mt, sparse_st):
+        np.testing.assert_allclose(np.asarray(got).reshape(-1, 2), want,
+                                   rtol=0, atol=0)
