@@ -6,6 +6,37 @@ Maps the state-dict names of the checkpoint the reference downloads
 weights are [out, in] and are transposed to [in, out] for x @ W; the
 per-layer tensors are stacked along a leading layer axis.
 
+Key-by-key HF -> pytree map (T = transpose, S = stack over layers i):
+
+  transformer.wte.weight                  -> wte
+  transformer.ln_f.weight                 -> ln_f
+  lm_head.weight                          -> lm_head (T)
+  transformer.h.{i}.ln_1.weight           -> layers.ln_1 (S)
+  transformer.h.{i}.ln_2.weight           -> layers.ln_2 (S)
+  transformer.h.{i}.attn.c_attn.weight    -> layers.attn_qkv_w (S,T)
+  transformer.h.{i}.attn.c_attn.bias      -> layers.attn_qkv_b (S)
+  transformer.h.{i}.attn.c_proj.weight    -> layers.attn_proj_w (S,T)
+  transformer.h.{i}.mlp.w1.weight         -> layers.mlp_w1 (S,T)
+  transformer.h.{i}.mlp.w2.weight         -> layers.mlp_w2 (S,T)
+  transformer.h.{i}.mlp.c_proj.weight     -> layers.mlp_proj_w (S,T)
+  transformer.visual.conv1.weight         -> visual.patch_w (reshape+T)
+  transformer.visual.positional_embedding -> visual.pos_embed
+  transformer.visual.ln_pre.{w,b}         -> visual.ln_pre_{w,b}
+  transformer.visual.ln_post.{w,b}        -> visual.ln_post_{w,b}
+  transformer.visual.proj                 -> visual.proj (already [in, out])
+  transformer.visual.transformer.resblocks.{i}.*
+                                          -> visual.blocks.* (S; Linears T)
+  transformer.visual.attn_pool.query      -> visual.resampler.query
+  transformer.visual.attn_pool.pos_embed  -> visual.resampler.q_pos, and
+                                             bicubic-upsampled to the patch
+                                             grid -> visual.resampler.kv_pos
+  transformer.visual.attn_pool.kv_proj.weight -> visual.resampler.kv_proj_w (T)
+  transformer.visual.attn_pool.ln_{q,kv}.{w,b} -> visual.resampler.ln_*
+  transformer.visual.attn_pool.attn.in_proj_{weight,bias} (rows split q|k|v)
+                                          -> visual.resampler.attn_{q,k,v}_{w,b} (T)
+  transformer.visual.attn_pool.attn.out_proj.{weight,bias}
+                                          -> visual.resampler.attn_out_{w,b} (T)
+
 Runs on CPU numpy; the resulting pytree is device_put by the caller
 (optionally sharded — tdax.parallel.shard_params).
 """
@@ -18,7 +49,7 @@ import os
 import numpy as np
 
 from tdax.models.qwen_vl.config import QwenVLConfig
-from tdax.models.qwen_vl.vit import sincos_2d
+from tdax.models.qwen_vl.vit import interp_pos_embed, sincos_2d
 
 
 def _t(x: np.ndarray) -> np.ndarray:
@@ -91,13 +122,14 @@ def _convert_visual(state: dict[str, np.ndarray], cfg: QwenVLConfig) -> dict:
     in_w = state[rp + "attn.in_proj_weight"]  # [3d, d]
     in_b = state[rp + "attn.in_proj_bias"]
     q_grid = int(np.sqrt(v.n_queries))
-    # checkpoint pos_embed covers the query grid; keys use the sincos grid
-    # interpolated/generated at the patch grid size
+    # the checkpoint's attn_pool.pos_embed is the query-grid sincos table;
+    # queries add it directly, keys add the SAME table bicubic-upsampled
+    # to the patch grid (Qwen's get_abs_pos on x.size(1))
     q_pos = state.get(rp + "pos_embed", sincos_2d(q_grid, d))
     resampler = {
         "query": state[rp + "query"],
         "q_pos": q_pos,
-        "kv_pos": sincos_2d(v.grid_size, d),
+        "kv_pos": interp_pos_embed(q_pos, v.grid_size),
         "kv_proj_w": _t(state[rp + "kv_proj.weight"]),
         "ln_q_w": state[rp + "ln_q.weight"], "ln_q_b": state[rp + "ln_q.bias"],
         "ln_kv_w": state[rp + "ln_kv.weight"], "ln_kv_b": state[rp + "ln_kv.bias"],
@@ -119,22 +151,40 @@ def _convert_visual(state: dict[str, np.ndarray], cfg: QwenVLConfig) -> dict:
 
 
 def load_hf_state_dict(model_dir: str) -> dict[str, np.ndarray]:
-    """Read a local HF checkpoint dir (safetensors or torch .bin shards)."""
+    """Read a local HF checkpoint dir into a flat {name: float32 array}.
+
+    Handles the real layouts an HF snapshot can have:
+      * sharded safetensors (``model-0000X-of-0000N.safetensors`` + a
+        ``*.safetensors.index.json``) — loaded via safetensors.torch so
+        bfloat16 shards (numpy has no bf16) convert cleanly;
+      * single ``model.safetensors``;
+      * torch ``pytorch_model*.bin`` shards (the Qwen-VL-Chat snapshot
+        the reference downloads ships 10 such shards).
+    Duplicate keys across shards are rejected (a corrupt snapshot should
+    fail loudly, not silently last-write-win).
+    """
     state: dict[str, np.ndarray] = {}
+
+    def merge(shard: dict, src: str) -> None:
+        for k, t in shard.items():
+            if k in state:
+                raise ValueError(f"duplicate checkpoint key {k!r} in {src}")
+            state[k] = t
+
     st_files = sorted(glob.glob(os.path.join(model_dir, "*.safetensors")))
     if st_files:
-        from safetensors.numpy import load_file
+        from safetensors.torch import load_file
         for f in st_files:
-            state.update(load_file(f))
+            merge({k: t.float().numpy() for k, t in load_file(f).items()}, f)
         return state
     bin_files = sorted(glob.glob(os.path.join(model_dir, "pytorch_model*.bin")))
+    bin_files = [f for f in bin_files if os.path.getsize(f) > 0]
     if not bin_files:
         raise FileNotFoundError(f"no checkpoint shards under {model_dir}")
     import torch
     for f in bin_files:
         shard = torch.load(f, map_location="cpu", weights_only=True)
-        for k, t in shard.items():
-            state[k] = t.float().numpy()
+        merge({k: t.float().numpy() for k, t in shard.items()}, f)
     return state
 
 

@@ -18,7 +18,7 @@ import numpy as np
 from tdax.models.qwen_vl.config import QwenVLConfig, VisualConfig
 from tdax.models.qwen_vl.decoder import decoder, decoder_capture, rms_norm
 from tdax.models.qwen_vl.quantize import embed_lookup, qdot
-from tdax.models.qwen_vl.vit import sincos_2d, visual_encode
+from tdax.models.qwen_vl.vit import interp_pos_embed, sincos_2d, visual_encode
 
 
 def _dense(key, shape, scale=None, dtype=jnp.float32):
@@ -49,7 +49,10 @@ def init_visual_params(key: jax.Array, cfg: VisualConfig, dtype) -> dict:
     resampler = {
         "query": _dense(ks[4], (cfg.n_queries, d), scale=0.02, dtype=dtype),
         "q_pos": jnp.asarray(sincos_2d(q_grid, d), dtype),
-        "kv_pos": jnp.asarray(sincos_2d(cfg.grid_size, d), dtype),
+        # keys reuse the query-grid table upsampled to the patch grid
+        # (Qwen's get_abs_pos semantics; see vit.interp_pos_embed)
+        "kv_pos": jnp.asarray(
+            interp_pos_embed(sincos_2d(q_grid, d), cfg.grid_size), dtype),
         "kv_proj_w": _dense(ks[5], (w, d), dtype=dtype),
         "ln_q_w": jnp.ones((d,), dtype), "ln_q_b": jnp.zeros((d,), dtype),
         "ln_kv_w": jnp.ones((d,), dtype), "ln_kv_b": jnp.zeros((d,), dtype),

@@ -125,11 +125,15 @@ def init_params_quantized(key: jax.Array, cfg, with_visual: bool = True) -> dict
             sub = jax.random.fold_in(key, counter[0])
             dt = str(v.dtype)
             if name in ("q_pos", "kv_pos"):
-                # deterministic sincos tables, as in init_params
-                grid = int(math.isqrt(cfg.visual.n_queries)) if name == "q_pos" \
-                    else cfg.visual.grid_size
-                out[name] = jnp.asarray(sincos_2d(grid, cfg.visual.output_dim),
-                                        jnp.dtype(dt))
+                # deterministic sincos tables, as in init_params: queries
+                # at the query grid, keys = that table upsampled to the
+                # patch grid (get_abs_pos semantics)
+                from tdax.models.qwen_vl.vit import interp_pos_embed
+                q_grid = int(math.isqrt(cfg.visual.n_queries))
+                table = sincos_2d(q_grid, cfg.visual.output_dim)
+                if name == "kv_pos":
+                    table = interp_pos_embed(table, cfg.visual.grid_size)
+                out[name] = jnp.asarray(table, jnp.dtype(dt))
             elif name in _QUANT_KEYS:
                 scale = 0.02 if name in _EMBED_SCALE else 1.0 / math.sqrt(v.shape[-2])
                 out[name] = gen_quant(sub, tuple(v.shape), scale, dt)

@@ -75,16 +75,39 @@ def vit_block(x: jnp.ndarray, layer: dict, cfg: VisualConfig) -> jnp.ndarray:
 
 
 def sincos_2d(grid: int, dim: int) -> np.ndarray:
-    """2-D sincos positional embedding [grid*grid, dim] (MAE convention)."""
+    """2-D sincos positional embedding [grid*grid, dim], exactly the
+    ``get_2d_sincos_pos_embed`` convention Qwen-VL's Resampler uses
+    (MAE layout): positions flattened row-major, the FIRST dim/2 block
+    encodes the column (w) coordinate and the second the row (h), each
+    block = [sin | cos] over dim/4 frequencies."""
     assert dim % 4 == 0
     omega = 1.0 / (10000 ** (np.arange(dim // 4, dtype=np.float64) / (dim / 4)))
     coords = np.arange(grid, dtype=np.float64)
     out = []
-    for axis in (0, 1):
-        pos = np.repeat(coords, grid) if axis == 0 else np.tile(coords, grid)
+    for pos in (np.tile(coords, grid),      # w varies fastest -> first half
+                np.repeat(coords, grid)):   # h -> second half
         ang = np.outer(pos, omega)
         out += [np.sin(ang), np.cos(ang)]
     return np.concatenate(out, axis=1).astype(np.float32)
+
+
+def interp_pos_embed(pos: np.ndarray, dst_grid: int) -> np.ndarray:
+    """Qwen-VL's ``get_abs_pos`` semantics: bicubic-interpolate a square
+    [src_grid**2, dim] positional table to [dst_grid**2, dim] (the
+    Resampler applies its QUERY-grid sincos table to the KEYS by
+    upsampling it to the patch grid; align_corners=False).  Host-side
+    (runs once at init/convert time)."""
+    src_grid = int(np.sqrt(pos.shape[0]))
+    assert src_grid * src_grid == pos.shape[0], "pos table must be square"
+    if src_grid == dst_grid:
+        return np.asarray(pos, dtype=np.float32)
+    import torch
+    import torch.nn.functional as F
+    t = torch.from_numpy(np.asarray(pos, dtype=np.float32))
+    t = t.reshape(1, src_grid, src_grid, -1).permute(0, 3, 1, 2)
+    t = F.interpolate(t, size=(dst_grid, dst_grid), mode="bicubic",
+                      align_corners=False)
+    return t.permute(0, 2, 3, 1).reshape(dst_grid * dst_grid, -1).numpy()
 
 
 def resampler(x: jnp.ndarray, params: dict, cfg: VisualConfig) -> jnp.ndarray:
