@@ -107,6 +107,18 @@ def smooth_knn_dist(knn_dists: jnp.ndarray, k: float,
     return sigma, rho
 
 
+def membership_strengths_knn(knn_idx: jnp.ndarray, knn_dists: jnp.ndarray,
+                             sigma: jnp.ndarray, rho: jnp.ndarray) -> jnp.ndarray:
+    """Directed membership weights on the kNN lists themselves [n, k]
+    (self entries zero) — the sparse-path counterpart of
+    ``membership_strengths``, which scatters into a dense [n, n]."""
+    n, k = knn_idx.shape
+    d_adj = knn_dists - rho[:, None]
+    w = jnp.where(d_adj <= 0.0, 1.0, jnp.exp(-d_adj / sigma[:, None]))
+    rows = jnp.broadcast_to(jnp.arange(n)[:, None], (n, k))
+    return jnp.where(knn_idx == rows, 0.0, w)
+
+
 def membership_strengths(knn_idx: jnp.ndarray, knn_dists: jnp.ndarray,
                          sigma: jnp.ndarray, rho: jnp.ndarray) -> jnp.ndarray:
     """Dense directed membership matrix A[i, j] (self edges zero)."""

@@ -1,0 +1,317 @@
+"""Large-n UMAP: fixed-size edge lists instead of dense [n, n] tensors.
+
+The dense path (fuzzy.py / layout.py) materializes an [n, n] fuzzy graph
+and an [n_head, n_tail, neg, d] repulsion tensor — exact and fast for
+the reference's 36–720-point clouds, hopeless at the 10k–100k points
+umap-learn handles routinely.  This module is the same algorithm on the
+kNN graph's edge list:
+
+  * kNN: exact blocked all-pairs top-k on the MXU (one program for
+    n <= 16384, row blocks above);
+  * sigma/rho calibration and membership strengths on the [n, k] lists
+    (identical math to fuzzy.py — shared functions);
+  * fuzzy symmetrization W = A + A^T - A o A^T on the host as a sparse
+    COO merge (n*k entries; numpy, deterministic);
+  * spectral init by orthogonal iteration on the normalized adjacency
+    with segment-sum matvecs (no [n, n] Laplacian, no eigh);
+  * the SGD layout as a lax.scan over epochs with per-edge sampling
+    schedules and per-epoch negative draws — O(E * neg * d) per epoch,
+    deterministic under the key, same gradient/clip/schedule semantics
+    as layout.py.
+
+Small-n behavior is unchanged: UMAP dispatches to the dense path below
+``sparse_threshold`` (bit-identical to before).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tdax.ops.umap.fuzzy import membership_strengths_knn, smooth_knn_dist
+
+
+def knn_blocked(x: jnp.ndarray, k: int, metric: str,
+                block_rows: int = 8192) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact kNN lists (idx [n,k], dist [n,k]; self first) via blocked
+    all-pairs distances on device."""
+    n = x.shape[0]
+
+    if metric == "cosine":
+        xn = x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    else:
+        xn = x
+
+    @functools.partial(jax.jit, static_argnames=())
+    def block(rows, full, row0):
+        if metric == "cosine":
+            d = jnp.clip(1.0 - jnp.dot(
+                rows, full.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST), 0.0, 2.0)
+        else:
+            sq_r = jnp.sum(rows * rows, axis=1, keepdims=True)
+            sq_f = jnp.sum(full * full, axis=1, keepdims=True)
+            d = jnp.sqrt(jnp.maximum(
+                sq_r + sq_f.T - 2.0 * jnp.dot(
+                    rows, full.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST), 0.0))
+        # the expansion form leaves O(1e-3) cancellation residue on the
+        # diagonal; pin self-distance to exactly 0 so self ranks first
+        # (the sigma/rho calibration skips column 0 as the self entry)
+        rows_abs = row0 + jnp.arange(rows.shape[0])[:, None]
+        d = jnp.where(rows_abs == jnp.arange(full.shape[0])[None, :], 0.0, d)
+        neg, idx = jax.lax.top_k(-d, k)
+        return idx, -neg
+
+    if n <= block_rows:
+        return block(xn, xn, jnp.int32(0))
+    idxs, dists = [], []
+    br = block_rows
+    for r0 in range(0, n, br):
+        hi = min(r0 + br, n)
+        pad = br - (hi - r0)
+        rows = jnp.concatenate([xn[r0:hi], xn[:pad]]) if pad else xn[r0:hi]
+        i, d = block(rows, xn, jnp.int32(r0))
+        idxs.append(i[:hi - r0])
+        dists.append(d[:hi - r0])
+    return jnp.concatenate(idxs), jnp.concatenate(dists)
+
+
+def build_sym_edges(knn_idx: np.ndarray, w: np.ndarray,
+                    set_op_mix_ratio: float = 1.0
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Directed membership lists -> symmetric COO edge list (host).
+
+    Returns (head [E], tail [E], weight [E]) containing BOTH directions
+    of every undirected edge (umap's layout iterates all nonzeros of the
+    symmetric matrix), weights W = mix*(A + A^T - A o A^T) + (1-mix)*A o A^T,
+    self-loops and zero weights dropped, deterministic order.
+    """
+    n, k = knn_idx.shape
+    rows = np.repeat(np.arange(n, dtype=np.int64), k)
+    cols = knn_idx.reshape(-1).astype(np.int64)
+    vals = np.asarray(w, dtype=np.float64).reshape(-1)
+    keep = (rows != cols) & (vals > 0)
+    rows, cols, vals = rows[keep], cols[keep], vals[keep]
+
+    # dedup duplicate directed entries (can happen with distance ties)
+    key = rows * n + cols
+    order = np.argsort(key, kind="stable")
+    key, rows, cols, vals = key[order], rows[order], cols[order], vals[order]
+    uniq = np.ones(len(key), dtype=bool)
+    uniq[1:] = key[1:] != key[:-1]
+    grp = np.cumsum(uniq) - 1
+    a_val = np.zeros(int(grp[-1]) + 1 if len(grp) else 0)
+    np.maximum.at(a_val, grp, vals)  # umap dedups by max on ties
+    rows, cols = rows[uniq], cols[uniq]
+
+    # A o A^T and A + A^T via key merge: transpose key = cols * n + rows
+    key = rows * n + cols
+    tkey = cols * n + rows
+    pos = np.searchsorted(key, tkey)
+    pos_clip = np.minimum(pos, len(key) - 1)
+    has_t = key[pos_clip] == tkey
+    at_val = np.where(has_t, a_val[pos_clip], 0.0)
+
+    sym = set_op_mix_ratio * (a_val + at_val - a_val * at_val) \
+        + (1.0 - set_op_mix_ratio) * (a_val * at_val)
+
+    # union of both directions: entries where only (j,i) exists appear
+    # when scanning (j, i)'s own row, so emitting (rows, cols, sym) for
+    # every directed entry ALREADY covers both directions of every edge
+    # present in either list — except (i, j) pairs where i never listed
+    # j.  Emit the reverse of one-sided edges explicitly.
+    one_sided = ~has_t
+    head = np.concatenate([rows, cols[one_sided]])
+    tail = np.concatenate([cols, rows[one_sided]])
+    wgt = np.concatenate([sym, sym[one_sided]])
+    keep = wgt > 0
+    head, tail, wgt = head[keep], tail[keep], wgt[keep]
+    order = np.lexsort((tail, head))
+    return (head[order].astype(np.int32), tail[order].astype(np.int32),
+            wgt[order].astype(np.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("n", "n_components", "n_iter"))
+def spectral_init_edges(head: jnp.ndarray, tail: jnp.ndarray, w: jnp.ndarray,
+                        n: int, n_components: int, key: jax.Array,
+                        n_iter: int = 200) -> jnp.ndarray:
+    """Bottom non-trivial eigenvectors of the normalized Laplacian by
+    orthogonal iteration on M = D^-1/2 W D^-1/2 (segment-sum matvecs,
+    trivial eigenvector deflated analytically), scaled to max-abs 10
+    with the same 1e-4 jitter as the dense spectral_init."""
+    deg = jax.ops.segment_sum(w, head, num_segments=n)
+    inv_sqrt = jnp.where(deg > 0, 1.0 / jnp.sqrt(jnp.maximum(deg, 1e-12)), 0.0)
+    v0 = jnp.sqrt(jnp.maximum(deg, 0.0))
+    v0 = v0 / jnp.maximum(jnp.linalg.norm(v0), 1e-12)
+    coef = w * inv_sqrt[head] * inv_sqrt[tail]
+
+    def matvec(v):  # [n, c]
+        return jax.ops.segment_sum(coef[:, None] * v[tail], head,
+                                   num_segments=n)
+
+    def ortho(v):
+        v = v - v0[:, None] * (v0 @ v)[None, :]
+        q, _ = jnp.linalg.qr(v)
+        return q
+
+    v = jax.random.normal(key, (n, n_components), jnp.float32)
+    v = ortho(v)
+
+    def body(_, v):
+        # shift by +1 so eigenvalues of M+I are positive and the largest
+        # of M dominate the iteration
+        return ortho(matvec(v) + v)
+
+    v = jax.lax.fori_loop(0, n_iter, body, v)
+    # order columns by Rayleigh quotient of M descending == Laplacian
+    # eigenvalue ascending (the bottom non-trivial eigenvectors)
+    rq = jnp.sum(v * matvec(v), axis=0)
+    v = v[:, jnp.argsort(-rq)]
+    emb = v * (10.0 / jnp.maximum(jnp.max(jnp.abs(v)), 1e-12))
+    noise = jax.random.normal(jax.random.fold_in(key, 1), emb.shape,
+                              emb.dtype) * 1e-4
+    return (emb + noise).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_components",))
+def pca_init(x: jnp.ndarray, n_components: int, key: jax.Array) -> jnp.ndarray:
+    """PCA initialization for the large-n path, scaled to max-abs 10
+    with the usual 1e-4 jitter.
+
+    Spectral init via plain orthogonal iteration cannot converge here:
+    manifold-like kNN graphs have near-degenerate bottom Laplacian
+    spectra (gap ~ 1/n^2 on a ring), which umap-learn handles with
+    shift-invert Lanczos.  PCA is one [d, d] eigh on the MXU, globally
+    faithful, and a standard UMAP init choice."""
+    mu = jnp.mean(x, axis=0)
+    xc = x - mu
+    cov = jnp.dot(xc.T, xc, preferred_element_type=jnp.float32)
+    _, vecs = jnp.linalg.eigh(cov)          # ascending
+    top = vecs[:, -n_components:][:, ::-1]
+    emb = jnp.dot(xc, top, preferred_element_type=jnp.float32)
+    emb = emb * (10.0 / jnp.maximum(jnp.max(jnp.abs(emb)), 1e-12))
+    noise = jax.random.normal(key, emb.shape, emb.dtype) * 1e-4
+    return (emb + noise).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "n_epochs",
+                                             "negative_sample_rate"))
+def optimize_layout_edges(init: jnp.ndarray,
+                          head: jnp.ndarray, tail: jnp.ndarray,
+                          w: jnp.ndarray,
+                          n: int, n_epochs: int, key: jax.Array,
+                          a: float, b: float,
+                          gamma: float = 1.0,
+                          initial_alpha: float = 1.0,
+                          negative_sample_rate: int = 5) -> jnp.ndarray:
+    """layout.py's epoch-synchronous SGD on an edge list.
+
+    Same semantics: per-edge epochs_per_sample schedules, attractive
+    gradient -2ab d^(2b-2)/(1+a d^2b) with recoil on tails, negative
+    sampling with the zero-distance +4 kick and the draw==tail skip,
+    per-dimension clip to [-4, 4], mean-force stabilizer, alpha linear
+    to 0.  O(E * neg * d) per epoch via segment sums."""
+    E = head.shape[0]
+    max_neg = negative_sample_rate + 3  # NEG_SLACK, as in layout.py
+    a32, b32, g32 = jnp.float32(a), jnp.float32(b), jnp.float32(gamma)
+
+    wmax = jnp.max(w)
+    w = jnp.where(w < wmax / n_epochs, 0.0, w)
+    n_samples = n_epochs * (w / jnp.maximum(wmax, 1e-30))
+    eps = jnp.where(n_samples > 0,
+                    n_epochs / jnp.maximum(n_samples, 1e-30), jnp.inf)
+    epns = eps / negative_sample_rate
+    edge_on = jnp.isfinite(eps)
+
+    def epoch_step(state, epoch):
+        emb, eons, eonns = state
+        alpha = initial_alpha * (1.0 - epoch.astype(jnp.float32) / n_epochs)
+        active = edge_on & (eons <= epoch)
+
+        # --- attractive ---
+        diff = emb[head] - emb[tail]                              # [E, d]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        pd2b = jnp.power(jnp.maximum(d2, 1e-12), b32)
+        att_coeff = jnp.where(d2 > 0.0,
+                              (-2.0 * a32 * b32 * pd2b
+                               / jnp.maximum(d2, 1e-12)) / (a32 * pd2b + 1.0),
+                              0.0)
+        att = jnp.clip(att_coeff[:, None] * diff, -4.0, 4.0)
+        att = jnp.where(active[:, None], att, 0.0)
+        force = jax.ops.segment_sum(att, head, num_segments=n) \
+            - jax.ops.segment_sum(att, tail, num_segments=n)
+        cnt = jax.ops.segment_sum(active.astype(jnp.float32), head,
+                                  num_segments=n) \
+            + jax.ops.segment_sum(active.astype(jnp.float32), tail,
+                                  num_segments=n)
+
+        # --- repulsive (negative samples; only heads move) ---
+        n_neg = jnp.where(active,
+                          (epoch.astype(jnp.float32) - eonns) / epns, 0.0)
+        n_neg_int = jnp.floor(n_neg).astype(jnp.int32)
+        k1 = jax.random.fold_in(key, epoch)
+        neg_idx = jax.random.randint(k1, (E, max_neg), 0, n)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (E, max_neg), 1)
+        neg_on = active[:, None] & (slot < jnp.minimum(n_neg_int,
+                                                       max_neg)[:, None])
+
+        ndiff = emb[head][:, None, :] - emb[neg_idx]              # [E, neg, d]
+        nd2 = jnp.sum(ndiff * ndiff, axis=-1)
+        npd2b = jnp.power(jnp.maximum(nd2, 1e-12), b32)
+        rep_coeff = (2.0 * g32 * b32) / ((0.001 + nd2) * (a32 * npd2b + 1.0))
+        rep = jnp.clip(rep_coeff[..., None] * ndiff, -4.0, 4.0)
+        zero_d = nd2 <= 0.0
+        is_tail = neg_idx == tail[:, None]
+        rep = jnp.where((zero_d & ~is_tail)[..., None], 4.0, rep)
+        on = neg_on & ~(zero_d & is_tail)
+        rep = jnp.where(on[..., None], rep, 0.0)
+        force = force + jax.ops.segment_sum(jnp.sum(rep, axis=1), head,
+                                            num_segments=n)
+        cnt = cnt + jax.ops.segment_sum(
+            jnp.sum(on, axis=1).astype(jnp.float32), head, num_segments=n)
+
+        emb = emb + force / jnp.maximum(cnt, 1.0)[:, None] * alpha
+        eons = jnp.where(active, eons + eps, eons)
+        eonns = jnp.where(active,
+                          eonns + n_neg_int.astype(jnp.float32) * epns, eonns)
+        return (emb, eons, eonns), None
+
+    eons0 = jnp.where(edge_on, eps, jnp.inf)
+    eonns0 = jnp.where(edge_on, epns, jnp.inf)
+    (emb, _, _), _ = jax.lax.scan(epoch_step,
+                                  (init.astype(jnp.float32), eons0, eonns0),
+                                  jnp.arange(n_epochs, dtype=jnp.int32))
+    return emb
+
+
+def embed_sparse(x: np.ndarray, n_neighbors: int, n_components: int,
+                 metric: str, n_epochs: int, key: jax.Array,
+                 a: float, b: float, learning_rate: float,
+                 negative_sample_rate: int, repulsion_strength: float,
+                 local_connectivity: float,
+                 set_op_mix_ratio: float) -> np.ndarray:
+    """One large cloud -> [n, n_components] embedding (edge-list path)."""
+    xj = jnp.asarray(np.asarray(x), dtype=jnp.float32)
+    n = xj.shape[0]
+    idx, dists = knn_blocked(xj, n_neighbors, metric)
+    sigma, rho = smooth_knn_dist(dists, float(n_neighbors),
+                                 local_connectivity=local_connectivity)
+    w_knn = membership_strengths_knn(idx, dists, sigma, rho)
+    head, tail, wgt = build_sym_edges(np.asarray(idx), np.asarray(w_knn),
+                                      set_op_mix_ratio)
+    head_j = jnp.asarray(head)
+    tail_j = jnp.asarray(tail)
+    wgt_j = jnp.asarray(wgt)
+    k_init, k_layout = jax.random.split(key)
+    init = pca_init(xj, n_components, k_init)
+    emb = optimize_layout_edges(init, head_j, tail_j, wgt_j, n, n_epochs,
+                                k_layout, a, b,
+                                gamma=repulsion_strength,
+                                initial_alpha=learning_rate,
+                                negative_sample_rate=negative_sample_rate)
+    return np.asarray(emb)

@@ -109,12 +109,28 @@ class UMAP:
     def _key(self) -> jax.Array:
         return jax.random.PRNGKey(self.random_state)
 
+    # above this point count, the dense [n, n] fuzzy graph and the
+    # [n, n, neg, d] repulsion tensor stop fitting; the edge-list path
+    # (sparse_path.py) takes over.  The dense path below the threshold
+    # is untouched (bit-identical results to previous releases).
+    sparse_threshold: int = 2048
+
     def fit(self, x: np.ndarray) -> "UMAP":
         x = jnp.asarray(np.asarray(x), dtype=jnp.float32)
         n = x.shape[0]
         if n < 2:
             raise ValueError(f"UMAP requires at least 2 samples, got {n}")
         k = min(self.n_neighbors, n - 1) if n > 1 else 1
+        if n > self.sparse_threshold:
+            from tdax.ops.umap.sparse_path import embed_sparse
+            self.embedding_ = embed_sparse(
+                x, k, self.n_components, self.metric,
+                _default_epochs(n, self.n_epochs), self._key(),
+                self._a, self._b, self.learning_rate,
+                self.negative_sample_rate, self.repulsion_strength,
+                self.local_connectivity, self.set_op_mix_ratio)
+            self._train_x = x
+            return self
         emb, _ = _embed(x, k, self.n_components, self.metric,
                         _default_epochs(n, self.n_epochs), self._key(),
                         self._a, self._b, self.learning_rate,

@@ -119,7 +119,8 @@ def _fused_extract_small(xj, n: int, target_degree: int, sample: int,
 def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
                          target_degree: int = 40, mesh=None,
                          degree_headroom: float = 4.0,
-                         block_rows: int = 8192) -> dict:
+                         block_rows: int = 8192,
+                         fused_max: int = 16384) -> dict:
     """Transfer-light scale path: the device computes distance ROW BLOCKS
     and extracts ONLY the thresholded edge list with fixed-size masked
     nonzeros (no top-k sorting networks, no n^2 materialization on
@@ -138,10 +139,13 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
     from tdax.ops.rips.sparse import rips_sparse
 
     timings: dict[str, float] = {}
+    t0 = time.time()
     xj = jnp.asarray(np.asarray(x), dtype=jnp.float32)
+    xj.block_until_ready()
+    timings["upload_s"] = time.time() - t0
     n = xj.shape[0]
 
-    if n <= 16384:
+    if n <= fused_max:
         # single fused dispatch: threshold + edges in one device program
         t0 = time.time()
         budget = int(n * target_degree * degree_headroom)
@@ -173,10 +177,13 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
     thresh = _select_threshold(xj, n, target_degree)
     timings["thresh_s"] = time.time() - t0
     block_rows = min(block_rows, n)
-    block_budget = int(block_rows * target_degree * degree_headroom)
 
-    @functools.partial(jax.jit, static_argnames=("size",))
-    def extract_block(x_rows, x_full, row0, t, size):
+    # per-row neighbor budget; a row with >= row_budget in-threshold
+    # neighbors raises (completeness is never silently traded)
+    row_budget = int(target_degree * degree_headroom)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def extract_block(x_rows, x_full, row0, t, k):
         sq_r = jnp.sum(x_rows * x_rows, axis=1, keepdims=True)
         sq_f = jnp.sum(x_full * x_full, axis=1, keepdims=True)
         d2 = sq_r + sq_f.T - 2.0 * jnp.dot(x_rows, x_full.T,
@@ -185,11 +192,17 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
         d = jnp.sqrt(jnp.maximum(d2, 0.0))
         rows_abs = row0 + jnp.arange(x_rows.shape[0])[:, None]
         cols = jnp.arange(x_full.shape[0])[None, :]
-        mask = (d <= t) & (rows_abs != cols)
-        count = jnp.sum(mask)
-        r, c = jnp.nonzero(mask, size=size, fill_value=-1)
-        vals = d[jnp.maximum(r, 0), jnp.maximum(c, 0)]
-        return r, c, vals, count
+        d = jnp.where(rows_abs == cols, jnp.inf, d)  # drop self
+        # per-row k smallest via the TPU PartialReduce kernel (exact at
+        # recall 1.0) — a flat nonzero() over the [rows, n] mask lowers
+        # to a sort of the whole block and dominated this stage
+        neg_vals, idx = jax.lax.approx_max_k(-d, k, recall_target=1.0)
+        vals = -neg_vals
+        keep = vals <= t
+        # completeness: the k-th smallest must exceed the threshold,
+        # else this row was truncated
+        truncated = jnp.sum(vals[:, -1] <= t)
+        return idx, vals, keep, truncated
 
     # dispatch every block before fetching any: JAX dispatch is async, so
     # the device pipeline hides per-dispatch relay latency behind compute
@@ -202,22 +215,24 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
         pad = block_rows - (hi - row0)
         rows_slice = jnp.concatenate([xj[row0:hi], xj[:pad]]) if pad else xj[row0:hi]
         pending.append((row0, hi, extract_block(rows_slice, xj, jnp.int32(row0),
-                                                jnp.float32(thresh), block_budget)))
+                                                jnp.float32(thresh), row_budget)))
     timings["dispatch_s"] = time.time() - t0
 
     rs, cs, vs = [], [], []
-    for row0, hi, (r, c, v, count) in pending:
-        count = int(count)
-        if count > block_budget:
-            raise ValueError(f"edge budget overflow in block {row0}: "
-                             f"{count} > {block_budget}; raise degree_headroom")
-        r = np.asarray(r)[:count]
-        c = np.asarray(c)[:count]
-        v = np.asarray(v)[:count]
-        keep = r < (hi - row0)  # drop pad rows
-        rs.append((r[keep] + row0).astype(np.int64))
-        cs.append(c[keep].astype(np.int32))
-        vs.append(v[keep].astype(np.float32))
+    for row0, hi, (idx, vals, keep, truncated) in pending:
+        if int(truncated):
+            raise ValueError(
+                f"{int(truncated)} rows in block {row0} have >= "
+                f"{row_budget} neighbors within the threshold; raise "
+                f"degree_headroom")
+        m = hi - row0
+        keep = np.asarray(keep)[:m]
+        idx = np.asarray(idx)[:m]
+        vals = np.asarray(vals)[:m]
+        r_local, slot = np.nonzero(keep)
+        rs.append((r_local + row0).astype(np.int64))
+        cs.append(idx[r_local, slot].astype(np.int32))
+        vs.append(vals[r_local, slot].astype(np.float32))
     timings["extract_s"] = time.time() - t0
 
     t0 = time.time()
@@ -225,7 +240,10 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
     c = np.concatenate(cs)
     v = np.concatenate(vs)
 
-    # blocks arrive in row order; nonzero scan is row-major -> CSR directly
+    # rows arrive in order but within a row the top-k is value-sorted;
+    # the CSR engine needs column-sorted rows
+    order = np.lexsort((c, r))
+    r, c, v = r[order], c[order], v[order]
     indptr = np.zeros(n + 1, dtype=np.int64)
     np.add.at(indptr, r + 1, 1)
     np.cumsum(indptr, out=indptr)

@@ -180,8 +180,16 @@ def test_rips_at_scale_sparse_blocked_matches_unblocked():
     z = rng.normal(size=(100, 4))
     z /= np.linalg.norm(z, axis=1, keepdims=True)
     x = (z @ rng.normal(size=(4, 32))).astype(np.float32)
-    a = rips_at_scale_sparse(x, maxdim=1, target_degree=25, block_rows=32)
-    b = rips_at_scale_sparse(x, maxdim=1, target_degree=25, block_rows=100)
-    assert a["n_edges"] == b["n_edges"]
+    # fused_max=0 forces the blocked approx_min_k branch; the default is
+    # the single fused dispatch — both must produce the same filtration
+    a = rips_at_scale_sparse(x, maxdim=1, target_degree=25, block_rows=32,
+                             fused_max=0)
+    b = rips_at_scale_sparse(x, maxdim=1, target_degree=25, block_rows=100,
+                             fused_max=0)
+    f = rips_at_scale_sparse(x, maxdim=1, target_degree=25)
+    assert a["n_edges"] == b["n_edges"] == f["n_edges"]
     for p in range(2):
         np.testing.assert_array_equal(a["dgms"][p], b["dgms"][p])
+        np.testing.assert_allclose(
+            np.where(np.isfinite(a["dgms"][p]), a["dgms"][p], -1),
+            np.where(np.isfinite(f["dgms"][p]), f["dgms"][p], -1), atol=1e-5)
