@@ -43,16 +43,23 @@ def main() -> None:
 
     if mode == "sparse":
         from tdax.pipeline.scale import rips_at_scale_sparse
-        t0 = time.time()
-        out = rips_at_scale_sparse(x, maxdim=maxdim,
-                                   target_degree=target_degree)
-        total = time.time() - t0
-        print(json.dumps({"stage": "sparse_knn_csr_ph", "thresh": round(out["thresh"], 4),
-                          "n_edges": out["n_edges"],
-                          "bars": [int(len(g)) for g in out["dgms"]],
-                          "timings": {k: round(vv, 2)
-                                      for k, vv in out.get("timings", {}).items()},
-                          "value": round(total, 2), "unit": "s"}))
+        # two passes: the first eats the erratic remote-compile latency
+        # (this environment's TPU relay compiles take seconds to minutes,
+        # uncorrelated with program cost); the second is the honest
+        # steady-state number a resident service would see
+        total = None
+        for label in ("cold", "warm"):
+            t0 = time.time()
+            out = rips_at_scale_sparse(x, maxdim=maxdim,
+                                       target_degree=target_degree)
+            total = time.time() - t0
+            print(json.dumps({"stage": f"sparse_knn_csr_ph_{label}",
+                              "thresh": round(out["thresh"], 4),
+                              "n_edges": out["n_edges"],
+                              "bars": [int(len(g)) for g in out["dgms"]],
+                              "timings": {k: round(vv, 2)
+                                          for k, vv in out.get("timings", {}).items()},
+                              "value": round(total, 2), "unit": "s"}))
         print(json.dumps({"metric": f"rips_scale_{n}pts_maxdim{maxdim}_sparse",
                           "value": round(total, 2), "unit": "s",
                           "vs_baseline": None}))

@@ -96,8 +96,8 @@ def _fused_extract_small(xj, n: int, target_degree: int, sample: int,
 
     rows = jnp.asarray(np.linspace(0, n - 1, min(sample, n)).astype(np.int32))
 
-    @functools.partial(jax.jit, static_argnames=("size",))
-    def fused(xf, size):
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def fused(xf, k):
         sq = jnp.sum(xf * xf, axis=1)
         d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.dot(
             xf, xf.T, preferred_element_type=jnp.float32,
@@ -107,11 +107,18 @@ def _fused_extract_small(xj, n: int, target_degree: int, sample: int,
         kth = -jax.lax.top_k(-d[rows], target_degree + 1)[0][:, -1]
         t = jnp.median(kth)
         eye = jnp.arange(n)
-        mask = (d <= t) & (eye[:, None] != eye[None, :])
-        count = jnp.sum(mask)
-        r, c = jnp.nonzero(mask, size=size, fill_value=-1)
-        vals = d[jnp.maximum(r, 0), jnp.maximum(c, 0)]
-        return r, c, vals, count, t
+        d = jnp.where(eye[:, None] == eye[None, :], jnp.inf, d)  # drop self
+        # per-row k smallest via the TPU PartialReduce kernel (exact at
+        # recall 1.0) — a flat nonzero() over the [n, n] mask lowers to a
+        # sort of the whole matrix and dominated this stage
+        neg_vals, idx = jax.lax.approx_max_k(-d, k, recall_target=1.0)
+        vals = -neg_vals
+        keep = vals <= t
+        # completeness: a row whose k-th smallest is still within the
+        # threshold was truncated (k == n-1 holds every neighbor, so
+        # truncation is impossible there)
+        truncated = jnp.sum(vals[:, -1] <= t) if k < n - 1 else jnp.int32(0)
+        return idx, vals, keep, truncated, t
 
     return fused(xj, budget)
 
@@ -146,22 +153,31 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
     n = xj.shape[0]
 
     if n <= fused_max:
-        # single fused dispatch: threshold + edges in one device program
+        # single fused dispatch: threshold + per-row k-smallest in one
+        # device program; host-side compaction of the kept slots
         t0 = time.time()
-        budget = int(n * target_degree * degree_headroom)
-        r, c, v, count, t = _fused_extract_small(
-            xj, n, target_degree, 512, budget)
-        count = int(count)
-        if count > budget:
-            raise ValueError(f"edge budget overflow: {count} > {budget}; "
-                             f"raise degree_headroom")
+        row_budget = min(int(target_degree * degree_headroom), n - 1)
+        idx, vals, keep, truncated, t = _fused_extract_small(
+            xj, n, target_degree, 512, row_budget)
+        if int(truncated):
+            raise ValueError(
+                f"{int(truncated)} rows have >= {row_budget} neighbors "
+                f"within the threshold; raise degree_headroom")
         thresh = float(t)
-        r = np.asarray(r)[:count].astype(np.int64)
-        c = np.asarray(c)[:count].astype(np.int32)
-        v = np.asarray(v)[:count].astype(np.float32)
+        keep = np.asarray(keep)
+        idx = np.asarray(idx)
+        vals = np.asarray(vals)
+        r_local, slot = np.nonzero(keep)
+        r = r_local.astype(np.int64)
+        c = idx[r_local, slot].astype(np.int32)
+        v = vals[r_local, slot].astype(np.float32)
         timings["extract_s"] = time.time() - t0
 
         t0 = time.time()
+        # rows arrive in order but within a row the k-smallest is
+        # value-sorted; the CSR engine needs column-sorted rows
+        order = np.lexsort((c, r))
+        r, c, v = r[order], c[order], v[order]
         indptr = np.zeros(n + 1, dtype=np.int64)
         np.add.at(indptr, r + 1, 1)
         np.cumsum(indptr, out=indptr)
