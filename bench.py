@@ -51,7 +51,7 @@ def run_sweep(clouds, shape_labels, color_labels):
 def main() -> None:
     from tdax.utils import setup_runtime
 
-    setup_runtime()
+    setup_runtime(want_device=True)
     clouds, shape_labels, color_labels = make_clouds()
 
     run_sweep(clouds, shape_labels, color_labels)  # warm-up / compile

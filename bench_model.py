@@ -60,7 +60,7 @@ def visual_flops(cfg) -> float:
 
 def main() -> None:
     from tdax.utils import setup_runtime
-    setup_runtime()
+    setup_runtime(want_device=True)
     import jax
     import jax.numpy as jnp
     from tdax.models.qwen_vl import QwenVLConfig, extract_layer_activations, init_params

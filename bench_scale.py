@@ -27,7 +27,7 @@ import numpy as np
 def main() -> None:
     from tdax.utils import setup_runtime
 
-    setup_runtime()
+    setup_runtime(want_device=True)
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
     maxdim = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     d = 4096

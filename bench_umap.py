@@ -36,7 +36,7 @@ def make_cloud(n: int, d: int = 4096, seed: int = 42) -> np.ndarray:
 def main() -> None:
     from tdax.utils import setup_runtime
 
-    setup_runtime()
+    setup_runtime(want_device=True)
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 15
     x = make_cloud(n)
