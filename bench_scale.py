@@ -47,12 +47,29 @@ def main() -> None:
         # (this environment's TPU relay compiles take seconds to minutes,
         # uncorrelated with program cost); the second is the honest
         # steady-state number a resident service would see
-        total = None
-        for label in ("cold", "warm"):
+        # three passes: "cold" eats the erratic remote-compile latency;
+        # "warm_host" is steady-state including the host->device upload
+        # (this relay moves ~28 MB/s, so a 10k x 4096 f32 cloud costs
+        # ~6 s of pure transfer — real v5e PCIe does GB/s); "warm_device"
+        # starts from an HBM-resident cloud, which is the product path:
+        # activations come straight out of model capture and never visit
+        # the host.
+        import jax
+        x_dev = None
+        warm_host = warm_dev = None
+        for label in ("cold", "warm_host", "warm_device"):
+            if label == "warm_device":
+                x_dev = jax.device_put(x)
+                x_dev.block_until_ready()
             t0 = time.time()
-            out = rips_at_scale_sparse(x, maxdim=maxdim,
+            out = rips_at_scale_sparse(x_dev if x_dev is not None else x,
+                                       maxdim=maxdim,
                                        target_degree=target_degree)
             total = time.time() - t0
+            if label == "warm_host":
+                warm_host = total
+            elif label == "warm_device":
+                warm_dev = total
             print(json.dumps({"stage": f"sparse_knn_csr_ph_{label}",
                               "thresh": round(out["thresh"], 4),
                               "n_edges": out["n_edges"],
@@ -61,7 +78,10 @@ def main() -> None:
                                           for k, vv in out.get("timings", {}).items()},
                               "value": round(total, 2), "unit": "s"}))
         print(json.dumps({"metric": f"rips_scale_{n}pts_maxdim{maxdim}_sparse",
-                          "value": round(total, 2), "unit": "s",
+                          "value": round(warm_host, 2), "unit": "s",
+                          "vs_baseline": None}))
+        print(json.dumps({"metric": f"rips_scale_{n}pts_maxdim{maxdim}_sparse_hbm",
+                          "value": round(warm_dev, 2), "unit": "s",
                           "vs_baseline": None}))
         return
 

@@ -81,6 +81,50 @@ def knn_blocked(x: jnp.ndarray, k: int, metric: str,
     return jnp.concatenate(idxs), jnp.concatenate(dists)
 
 
+def knn_blocked_cross(x_new: jnp.ndarray, x_train: jnp.ndarray, k: int,
+                      metric: str, block_rows: int = 8192
+                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """kNN lists of x_new against x_train (idx [n_new,k], dist [n_new,k];
+    no self-distance semantics — the two clouds are distinct)."""
+    n_new = x_new.shape[0]
+
+    if metric == "cosine":
+        xn = x_new / jnp.maximum(jnp.linalg.norm(x_new, axis=1, keepdims=True),
+                                 1e-30)
+        tn = x_train / jnp.maximum(jnp.linalg.norm(x_train, axis=1,
+                                                   keepdims=True), 1e-30)
+    else:
+        xn, tn = x_new, x_train
+
+    @jax.jit
+    def block(rows, full):
+        if metric == "cosine":
+            d = jnp.clip(1.0 - jnp.dot(
+                rows, full.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST), 0.0, 2.0)
+        else:
+            sq_r = jnp.sum(rows * rows, axis=1, keepdims=True)
+            sq_f = jnp.sum(full * full, axis=1, keepdims=True)
+            d = jnp.sqrt(jnp.maximum(
+                sq_r + sq_f.T - 2.0 * jnp.dot(
+                    rows, full.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST), 0.0))
+        neg, idx = jax.lax.top_k(-d, k)
+        return idx, -neg
+
+    if n_new <= block_rows:
+        return block(xn, tn)
+    idxs, dists = [], []
+    for r0 in range(0, n_new, block_rows):
+        hi = min(r0 + block_rows, n_new)
+        pad = block_rows - (hi - r0)
+        rows = jnp.concatenate([xn[r0:hi], xn[:pad]]) if pad else xn[r0:hi]
+        i, d = block(rows, tn)
+        idxs.append(i[:hi - r0])
+        dists.append(d[:hi - r0])
+    return jnp.concatenate(idxs), jnp.concatenate(dists)
+
+
 def build_sym_edges(knn_idx: np.ndarray, w: np.ndarray,
                     set_op_mix_ratio: float = 1.0
                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -287,6 +331,136 @@ def optimize_layout_edges(init: jnp.ndarray,
                                   (init.astype(jnp.float32), eons0, eonns0),
                                   jnp.arange(n_epochs, dtype=jnp.int32))
     return emb
+
+
+@functools.partial(jax.jit, static_argnames=("n_epochs",
+                                             "negative_sample_rate"))
+def optimize_layout_edges_fixed_tail(init: jnp.ndarray,
+                                     tail_emb: jnp.ndarray,
+                                     head: jnp.ndarray, tail: jnp.ndarray,
+                                     w: jnp.ndarray,
+                                     n_epochs: int, key: jax.Array,
+                                     a: float, b: float,
+                                     gamma: float = 1.0,
+                                     initial_alpha: float = 1.0,
+                                     negative_sample_rate: int = 5
+                                     ) -> jnp.ndarray:
+    """optimize_layout_edges in transform mode: tails stay fixed at
+    ``tail_emb`` (the fitted train embedding), only heads (new points)
+    move, negatives are drawn from the train set — the edge-list
+    counterpart of layout.optimize_layout(move_other=False)."""
+    E = head.shape[0]
+    n_head = init.shape[0]
+    n_tail = tail_emb.shape[0]
+    max_neg = negative_sample_rate + 3  # NEG_SLACK, as in layout.py
+    a32, b32, g32 = jnp.float32(a), jnp.float32(b), jnp.float32(gamma)
+    tail_fixed = tail_emb.astype(jnp.float32)
+
+    wmax = jnp.max(w)
+    w = jnp.where(w < wmax / n_epochs, 0.0, w)
+    n_samples = n_epochs * (w / jnp.maximum(wmax, 1e-30))
+    eps = jnp.where(n_samples > 0,
+                    n_epochs / jnp.maximum(n_samples, 1e-30), jnp.inf)
+    epns = eps / negative_sample_rate
+    edge_on = jnp.isfinite(eps)
+
+    def epoch_step(state, epoch):
+        emb, eons, eonns = state
+        alpha = initial_alpha * (1.0 - epoch.astype(jnp.float32) / n_epochs)
+        active = edge_on & (eons <= epoch)
+
+        # --- attractive (no recoil: tails are fixed) ---
+        diff = emb[head] - tail_fixed[tail]                       # [E, d]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        pd2b = jnp.power(jnp.maximum(d2, 1e-12), b32)
+        att_coeff = jnp.where(d2 > 0.0,
+                              (-2.0 * a32 * b32 * pd2b
+                               / jnp.maximum(d2, 1e-12)) / (a32 * pd2b + 1.0),
+                              0.0)
+        att = jnp.clip(att_coeff[:, None] * diff, -4.0, 4.0)
+        att = jnp.where(active[:, None], att, 0.0)
+        force = jax.ops.segment_sum(att, head, num_segments=n_head)
+        cnt = jax.ops.segment_sum(active.astype(jnp.float32), head,
+                                  num_segments=n_head)
+
+        # --- repulsive (negatives from the train set; heads move) ---
+        n_neg = jnp.where(active,
+                          (epoch.astype(jnp.float32) - eonns) / epns, 0.0)
+        n_neg_int = jnp.floor(n_neg).astype(jnp.int32)
+        k1 = jax.random.fold_in(key, epoch)
+        neg_idx = jax.random.randint(k1, (E, max_neg), 0, n_tail)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (E, max_neg), 1)
+        neg_on = active[:, None] & (slot < jnp.minimum(n_neg_int,
+                                                       max_neg)[:, None])
+
+        ndiff = emb[head][:, None, :] - tail_fixed[neg_idx]       # [E, neg, d]
+        nd2 = jnp.sum(ndiff * ndiff, axis=-1)
+        npd2b = jnp.power(jnp.maximum(nd2, 1e-12), b32)
+        rep_coeff = (2.0 * g32 * b32) / ((0.001 + nd2) * (a32 * npd2b + 1.0))
+        rep = jnp.clip(rep_coeff[..., None] * ndiff, -4.0, 4.0)
+        zero_d = nd2 <= 0.0
+        is_tail = neg_idx == tail[:, None]
+        rep = jnp.where((zero_d & ~is_tail)[..., None], 4.0, rep)
+        on = neg_on & ~(zero_d & is_tail)
+        rep = jnp.where(on[..., None], rep, 0.0)
+        force = force + jax.ops.segment_sum(jnp.sum(rep, axis=1), head,
+                                            num_segments=n_head)
+        cnt = cnt + jax.ops.segment_sum(
+            jnp.sum(on, axis=1).astype(jnp.float32), head,
+            num_segments=n_head)
+
+        emb = emb + force / jnp.maximum(cnt, 1.0)[:, None] * alpha
+        eons = jnp.where(active, eons + eps, eons)
+        eonns = jnp.where(active,
+                          eonns + n_neg_int.astype(jnp.float32) * epns, eonns)
+        return (emb, eons, eonns), None
+
+    eons0 = jnp.where(edge_on, eps, jnp.inf)
+    eonns0 = jnp.where(edge_on, epns, jnp.inf)
+    (emb, _, _), _ = jax.lax.scan(epoch_step,
+                                  (init.astype(jnp.float32), eons0, eonns0),
+                                  jnp.arange(n_epochs, dtype=jnp.int32))
+    return emb
+
+
+def transform_sparse(x_new: np.ndarray, train_x: jnp.ndarray,
+                     train_emb: np.ndarray, n_neighbors: int, metric: str,
+                     n_epochs: int, key: jax.Array,
+                     a: float, b: float, learning_rate: float,
+                     negative_sample_rate: int, repulsion_strength: float,
+                     local_connectivity: float) -> np.ndarray:
+    """Embed new points against a fitted reducer on the edge list —
+    umap.UMAP.transform semantics (cross-kNN calibration, weighted-mean
+    init, fixed-tail SGD at alpha/4) without the [n_new, n_train] dense
+    graph or the [nh, nt, neg, d] repulsion tensor."""
+    xj = jnp.asarray(np.asarray(x_new), dtype=jnp.float32)
+    n_new = xj.shape[0]
+    k = n_neighbors
+    idx, dists = knn_blocked_cross(xj, train_x, k, metric)
+
+    # no self column in cross-kNN: prepend a zero column so the
+    # calibration's skip-self convention stays consistent (same as the
+    # dense transform path)
+    sigma, rho = smooth_knn_dist(
+        jnp.concatenate([jnp.zeros((n_new, 1), dists.dtype), dists], axis=1),
+        float(k), local_connectivity=local_connectivity)
+    d_adj = dists - rho[:, None]
+    w = jnp.where(d_adj <= 0.0, 1.0, jnp.exp(-d_adj / sigma[:, None]))
+
+    head = jnp.repeat(jnp.arange(n_new, dtype=jnp.int32), k)
+    tail = idx.reshape(-1).astype(jnp.int32)
+    wgt = w.reshape(-1).astype(jnp.float32)
+
+    # init: weighted mean of neighbor embeddings
+    emb_t = jnp.asarray(train_emb, dtype=jnp.float32)
+    wsum = jnp.maximum(jnp.sum(w, axis=1), 1e-12)
+    init = jnp.sum(w[:, :, None] * emb_t[idx], axis=1) / wsum[:, None]
+
+    emb = optimize_layout_edges_fixed_tail(
+        init, emb_t, head, tail, wgt, n_epochs, key, a, b,
+        gamma=repulsion_strength, initial_alpha=learning_rate / 4.0,
+        negative_sample_rate=negative_sample_rate)
+    return np.asarray(emb)
 
 
 def embed_sparse(x: np.ndarray, n_neighbors: int, n_components: int,

@@ -154,6 +154,21 @@ class UMAP:
         n_train = self._train_x.shape[0]
         k = min(self.n_neighbors, n_train)
 
+        # the dense path materializes an [n_new, n_train] graph and an
+        # [n_new, n_train, neg, d] epoch tensor; past the dense fit
+        # ceiling's product the edge-list transform takes over (always
+        # the case when fit itself went sparse)
+        if n_new * n_train > self.sparse_threshold ** 2:
+            from tdax.ops.umap.sparse_path import transform_sparse
+            n_epochs = (int(self.n_epochs // 3) if self.n_epochs
+                        else (100 if n_new <= 10000 else 30))
+            return transform_sparse(
+                x, self._train_x, self.embedding_, k, self.metric,
+                n_epochs, jax.random.fold_in(self._key(), 1),
+                self._a, self._b, self.learning_rate,
+                self.negative_sample_rate, self.repulsion_strength,
+                self.local_connectivity)
+
         # kNN of new points against training data
         if self.metric == "cosine":
             xn = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-30)

@@ -32,9 +32,19 @@ from tdax.ops.rips import rips_from_distances
 from tdax.ops.rips.mst import h0_diagram_tpu
 
 
+def _as_device_f32(x):
+    """Host array -> device f32 upload; an already-device-resident
+    jax.Array passes through without a host round-trip (the product
+    path: activation clouds come straight out of model capture and
+    never leave HBM)."""
+    if isinstance(x, jax.Array):
+        return x if x.dtype == jnp.float32 else x.astype(jnp.float32)
+    return jnp.asarray(np.asarray(x), dtype=jnp.float32)
+
+
 def distance_matrix_tpu(x: np.ndarray, mesh=None, use_pallas: bool = True) -> np.ndarray:
     """[n, d] -> [n, n] Euclidean distances, computed on device."""
-    xj = jnp.asarray(np.asarray(x), dtype=jnp.float32)
+    xj = _as_device_f32(x)
     if mesh is not None:
         from tdax.parallel.sharded_ops import sharded_pairwise_sq_euclidean
         d2 = sharded_pairwise_sq_euclidean(xj, mesh)
@@ -147,7 +157,7 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
 
     timings: dict[str, float] = {}
     t0 = time.time()
-    xj = jnp.asarray(np.asarray(x), dtype=jnp.float32)
+    xj = _as_device_f32(x)
     xj.block_until_ready()
     timings["upload_s"] = time.time() - t0
     n = xj.shape[0]

@@ -193,3 +193,24 @@ def test_rips_at_scale_sparse_blocked_matches_unblocked():
         np.testing.assert_allclose(
             np.where(np.isfinite(a["dgms"][p]), a["dgms"][p], -1),
             np.where(np.isfinite(f["dgms"][p]), f["dgms"][p], -1), atol=1e-5)
+
+
+def test_rips_at_scale_sparse_device_resident_input():
+    """A jax.Array input (the product path: activations born in HBM)
+    must skip the host round-trip and produce identical diagrams."""
+    from tdax.ops.rips import native
+    if not native.available():
+        pytest.skip("native engine not built")
+    import jax
+    import jax.numpy as jnp
+    from tdax.pipeline.scale import rips_at_scale_sparse
+    rng = np.random.default_rng(15)
+    z = rng.normal(size=(80, 4))
+    z /= np.linalg.norm(z, axis=1, keepdims=True)
+    x = (z @ rng.normal(size=(4, 32))).astype(np.float32)
+    a = rips_at_scale_sparse(x, maxdim=1, target_degree=20)
+    b = rips_at_scale_sparse(jax.device_put(jnp.asarray(x)), maxdim=1,
+                             target_degree=20)
+    assert a["n_edges"] == b["n_edges"]
+    for p in range(2):
+        np.testing.assert_array_equal(a["dgms"][p], b["dgms"][p])

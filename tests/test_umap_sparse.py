@@ -139,3 +139,72 @@ def test_sparse_deterministic_and_dispatch():
     # dense at 60 epochs is under-converged; separation just has to exist
     # (its own quality bars live in test_umap.py)
     assert float(silhouette_score(d1, labels)) > 0.3
+
+
+def test_sparse_transform_places_new_points():
+    """Edge-list transform: new points from known clusters land in their
+    own cluster's region of the fitted embedding, train points stay
+    fixed, and the result is deterministic."""
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(3, 24)) * 8
+    x_tr = np.concatenate([c + rng.normal(0, 0.5, (150, 24)) for c in centers])
+    x_new = np.concatenate([c + rng.normal(0, 0.5, (40, 24)) for c in centers])
+    lab_tr = np.repeat(np.arange(3), 150)
+    lab_new = np.repeat(np.arange(3), 40)
+
+    u = UMAP(n_components=2, n_neighbors=10, n_epochs=150, random_state=42)
+    u.sparse_threshold = 16  # force the edge-list path for fit AND transform
+    emb_tr = u.fit_transform(x_tr.astype(np.float32))
+    before = np.array(u.embedding_)
+    emb_new = u.transform(x_new.astype(np.float32))
+    np.testing.assert_array_equal(before, u.embedding_)  # train side fixed
+    assert np.isfinite(emb_new).all()
+
+    # each new point's nearest train centroid (in embedding space) must
+    # be its own cluster's
+    cents = np.stack([emb_tr[lab_tr == c].mean(0) for c in range(3)])
+    d = np.linalg.norm(emb_new[:, None] - cents[None], axis=-1)
+    acc = float((np.argmin(d, 1) == lab_new).mean())
+    assert acc > 0.95, f"transform misplaced points: acc={acc:.2f}"
+
+    emb_new2 = u.transform(x_new.astype(np.float32))
+    np.testing.assert_array_equal(emb_new, emb_new2)  # deterministic
+
+
+def test_sparse_transform_agrees_with_dense_geometry():
+    """Dense-fit object: the forced edge-list transform and the dense
+    transform must make the same cluster assignments (trajectories
+    differ — the RNG draws have different shapes)."""
+    rng = np.random.default_rng(6)
+    centers = rng.normal(size=(2, 16)) * 10
+    x_tr = np.concatenate([c + rng.normal(0, 0.5, (80, 16)) for c in centers])
+    x_new = np.concatenate([c + rng.normal(0, 0.5, (30, 16)) for c in centers])
+    lab_tr = np.repeat(np.arange(2), 80)
+    lab_new = np.repeat(np.arange(2), 30)
+
+    u = UMAP(n_components=2, n_neighbors=8, n_epochs=100, random_state=42)
+    emb_tr = u.fit_transform(x_tr.astype(np.float32))
+    dense_new = u.transform(x_new.astype(np.float32))
+    u.sparse_threshold = 8  # now force the edge-list transform
+    sparse_new = u.transform(x_new.astype(np.float32))
+
+    cents = np.stack([emb_tr[lab_tr == c].mean(0) for c in range(2)])
+    for emb_new, name in ((dense_new, "dense"), (sparse_new, "sparse")):
+        d = np.linalg.norm(emb_new[:, None] - cents[None], axis=-1)
+        acc = float((np.argmin(d, 1) == lab_new).mean())
+        assert acc == 1.0, f"{name} transform misplaced points: acc={acc:.2f}"
+
+
+def test_knn_blocked_cross_matches_exact():
+    from tdax.ops.umap.sparse_path import knn_blocked_cross
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.normal(size=(150, 12)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(90, 12)).astype(np.float32))
+    idx, dists = knn_blocked_cross(a, b, 6, "euclidean", block_rows=64)
+    idx1, dists1 = knn_blocked_cross(a, b, 6, "euclidean", block_rows=512)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx1))
+    np.testing.assert_array_equal(np.asarray(dists), np.asarray(dists1))
+    d2 = np.asarray(((np.asarray(a)[:, None] - np.asarray(b)[None]) ** 2).sum(-1))
+    ref = np.sort(np.sqrt(np.sort(d2, axis=1)[:, :6]), axis=1)
+    np.testing.assert_allclose(np.sort(np.asarray(dists), axis=1), ref,
+                               rtol=2e-3, atol=2e-3)
