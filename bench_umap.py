@@ -56,8 +56,11 @@ def main() -> None:
                random_state=42).fit_transform(x)
     warm = time.time() - t0
 
+    from tdax.ops.umap.sparse_path import LAST_TIMINGS
     print(json.dumps({"stage": f"umap_{n}pts_4096d_cosine_k{k}",
-                      "cold_s": round(cold, 2), "warm_s": round(warm, 2)}))
+                      "cold_s": round(cold, 2), "warm_s": round(warm, 2),
+                      "warm_timings": {kk: round(v, 2)
+                                       for kk, v in LAST_TIMINGS.items()}}))
     print(json.dumps({"metric": f"umap_scale_{n}pts_4096d_to3d",
                       "value": round(warm, 2), "unit": "s",
                       "vs_baseline": round(TARGET_SECONDS / warm, 1)}))

@@ -469,23 +469,46 @@ def embed_sparse(x: np.ndarray, n_neighbors: int, n_components: int,
                  negative_sample_rate: int, repulsion_strength: float,
                  local_connectivity: float,
                  set_op_mix_ratio: float) -> np.ndarray:
-    """One large cloud -> [n, n_components] embedding (edge-list path)."""
+    """One large cloud -> [n, n_components] embedding (edge-list path).
+
+    Per-stage wall-clock lands in ``LAST_TIMINGS`` (diagnostic only)."""
+    import time
+    t = {}
+    t0 = time.time()
     xj = jnp.asarray(np.asarray(x), dtype=jnp.float32)
+    xj.block_until_ready()
+    t["upload_s"] = time.time() - t0
     n = xj.shape[0]
+    t0 = time.time()
     idx, dists = knn_blocked(xj, n_neighbors, metric)
     sigma, rho = smooth_knn_dist(dists, float(n_neighbors),
                                  local_connectivity=local_connectivity)
     w_knn = membership_strengths_knn(idx, dists, sigma, rho)
-    head, tail, wgt = build_sym_edges(np.asarray(idx), np.asarray(w_knn),
-                                      set_op_mix_ratio)
+    idx_h, w_h = np.asarray(idx), np.asarray(w_knn)
+    t["knn_calib_s"] = time.time() - t0
+    t0 = time.time()
+    head, tail, wgt = build_sym_edges(idx_h, w_h, set_op_mix_ratio)
     head_j = jnp.asarray(head)
     tail_j = jnp.asarray(tail)
     wgt_j = jnp.asarray(wgt)
+    t["sym_s"] = time.time() - t0
     k_init, k_layout = jax.random.split(key)
+    t0 = time.time()
     init = pca_init(xj, n_components, k_init)
+    init.block_until_ready()
+    t["init_s"] = time.time() - t0
+    t0 = time.time()
     emb = optimize_layout_edges(init, head_j, tail_j, wgt_j, n, n_epochs,
                                 k_layout, a, b,
                                 gamma=repulsion_strength,
                                 initial_alpha=learning_rate,
                                 negative_sample_rate=negative_sample_rate)
-    return np.asarray(emb)
+    out = np.asarray(emb)
+    t["layout_s"] = time.time() - t0
+    LAST_TIMINGS.clear()
+    LAST_TIMINGS.update(t)
+    return out
+
+
+#: per-stage wall-clock of the most recent embed_sparse call (diagnostic)
+LAST_TIMINGS: dict = {}

@@ -209,3 +209,12 @@ def test_wasserstein_properties():
     # infinite bars
     di = np.concatenate([d, [[0.1, np.inf]]])
     assert wasserstein_distance(d, di) == np.inf
+
+
+def test_root_metrics_shim_matches_package():
+    """`from metrics import ...` (the reference's import surface,
+    /root/reference/metrics.py:5-398) resolves to the tdax ports."""
+    import metrics as shim
+    from tdax.metrics import geometry
+    for name in shim.__all__:
+        assert getattr(shim, name) is getattr(geometry, name), name
