@@ -443,6 +443,25 @@ class RipsEngine {
     return false;
   }
 
+  // cancel mod-2 duplicate entries in place (sort, drop equal pairs).
+  // Stored remainders and the working coboundary accumulate uncancelled
+  // duplicate pairs; on long reduction chains the raw buffers grow
+  // super-quadratically — compaction keeps them at true mod-2 support.
+  static void compact_mod2(std::vector<DiamIdx>& v) {
+    std::sort(v.begin(), v.end(), ascending);
+    size_t out = 0;
+    for (size_t i = 0; i < v.size();) {
+      if (i + 1 < v.size() && v[i].idx == v[i + 1].idx &&
+          v[i].diam == v[i + 1].diam) {
+        i += 2;  // cancelled pair (runs of 2k collapse pairwise)
+        continue;
+      }
+      v[out++] = v[i++];
+    }
+    v.resize(out);
+    v.shrink_to_fit();
+  }
+
   void reduce_dimension(int p, std::vector<DiamIdx>& columns,
                         std::vector<Bar>& bars, PivotMap& pivots) {
     // decreasing (diam, idx)
@@ -514,6 +533,7 @@ class RipsEngine {
         return true;
       });
       heap.heapify();
+      size_t compact_limit = std::max<size_t>(4096, 2 * heap.buf.size());
 #ifdef TDAX_PROF
       prof_phase2_init += std::chrono::duration<double>(
           std::chrono::steady_clock::now() - _t1).count();
@@ -542,6 +562,7 @@ class RipsEngine {
 #endif
         int64_t owner = pivots.find(pivot.idx);
         if (owner < 0) {
+          compact_mod2(heap.buf);  // store the true mod-2 support only
           owner_col.push_back(col);
           owner_rem.push_back(std::move(heap.buf));  // ≡ R(col) \ {pivot}
           owner_stored.push_back(1);
@@ -561,7 +582,13 @@ class RipsEngine {
         if (owner_stored[owner]) {
           // W_new = (W \ {pivot}) + (R_owner \ {pivot}): the two pivot
           // copies cancel mod 2, so neither is re-pushed
-          for (const DiamIdx& e : owner_rem[owner]) heap.push(e);
+          const std::vector<DiamIdx>& rem = owner_rem[owner];
+          if (rem.size() > 64) {
+            heap.buf.insert(heap.buf.end(), rem.begin(), rem.end());
+            heap.heapify();  // O(n) beats len(rem) heap pushes
+          } else {
+            for (const DiamIdx& e : rem) heap.push(e);
+          }
         } else {
           // claimed column: its R is the raw coboundary of its simplex,
           // which regenerates the pivot — re-push ours so they cancel
@@ -572,6 +599,11 @@ class RipsEngine {
             if (diam <= thresh_) heap.push({diam, cidx});
             return true;
           });
+        }
+        if (heap.buf.size() > compact_limit) {
+          compact_mod2(heap.buf);
+          heap.heapify();
+          compact_limit = std::max<size_t>(4096, 2 * heap.buf.size());
         }
       }
     }

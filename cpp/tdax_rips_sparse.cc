@@ -392,6 +392,26 @@ class SparseRips {
     }
   };
 
+  // cancel mod-2 duplicate entries in place (sort, drop equal pairs).
+  // The working coboundary and stored remainders accumulate uncancelled
+  // duplicate pairs; on long reduction chains (100k-point H1) the raw
+  // buffers grow super-quadratically — compaction keeps both the stored
+  // remainders and the live heap at their true mod-2 support size.
+  static void compact_mod2(std::vector<DiamIdx>& v) {
+    std::sort(v.begin(), v.end(), ascending);
+    size_t out = 0;
+    for (size_t i = 0; i < v.size();) {
+      if (i + 1 < v.size() && v[i].idx == v[i + 1].idx &&
+          v[i].diam == v[i + 1].diam) {
+        i += 2;  // cancelled pair (runs of 2k collapse pairwise)
+        continue;
+      }
+      v[out++] = v[i++];
+    }
+    v.resize(out);
+    v.shrink_to_fit();
+  }
+
   static bool pop_pivot(Heap& heap, DiamIdx& out) {
     while (!heap.empty()) {
       DiamIdx top = heap.top();
@@ -468,6 +488,7 @@ class SparseRips {
         return true;
       });
       heap.heapify();
+      size_t compact_limit = std::max<size_t>(4096, 2 * heap.buf.size());
 
       while (true) {
         DiamIdx pivot;
@@ -479,6 +500,7 @@ class SparseRips {
         }
         int64_t owner = pivots.find(pivot.idx);
         if (owner < 0) {
+          compact_mod2(heap.buf);  // store the true mod-2 support only
           owner_col.push_back(col);
           owner_rem.push_back(std::move(heap.buf));  // ≡ R(col) \ {pivot}
           owner_stored.push_back(1);
@@ -491,7 +513,13 @@ class SparseRips {
         if (owner_stored[owner]) {
           // W_new = (W \ {pivot}) + (R_owner \ {pivot}): the two pivot
           // copies cancel, so neither is re-pushed
-          for (const DiamIdx& e : owner_rem[owner]) heap.push(e);
+          const std::vector<DiamIdx>& rem = owner_rem[owner];
+          if (rem.size() > 64) {
+            heap.buf.insert(heap.buf.end(), rem.begin(), rem.end());
+            heap.heapify();  // O(n) beats len(rem) heap pushes
+          } else {
+            for (const DiamIdx& e : rem) heap.push(e);
+          }
         } else {
           // claimed column: R_owner = raw coboundary of its simplex,
           // which regenerates the pivot — re-push ours so they cancel
@@ -502,6 +530,11 @@ class SparseRips {
             heap.push({diam, cidx});
             return true;
           });
+        }
+        if (heap.buf.size() > compact_limit) {
+          compact_mod2(heap.buf);
+          heap.heapify();
+          compact_limit = std::max<size_t>(4096, 2 * heap.buf.size());
         }
       }
     }
@@ -613,6 +646,8 @@ int tdax_rips_sparse(int64_t n, const int64_t* indptr, const int32_t* indices,
     *out = buf;
     *out_len = static_cast<long>(3 * bars.size());
     return 0;
+  } catch (const std::bad_alloc&) {
+    return 4;
   } catch (...) {
     return 1;
   }

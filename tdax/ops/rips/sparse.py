@@ -91,6 +91,8 @@ def rips_sparse(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
             maxdim, ctypes.byref(out_ptr), ctypes.byref(out_len))
     if rc == 3:
         raise ValueError("sparse engine supports maxdim <= 3")
+    if rc == 4:
+        raise MemoryError("sparse engine ran out of memory during reduction")
     if rc != 0:
         raise RuntimeError(f"tdax_rips_sparse failed with code {rc}")
     try:
