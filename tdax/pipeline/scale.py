@@ -12,9 +12,11 @@ point-cloud size is this project's scale axis).  Division of labor:
 
 Returns ripser-compatible diagrams.
 
-Precision: the device distance matrix uses the f32 MXU expansion form
-(|x|^2+|y|^2-2xy), accurate to ~1e-4 relative on distance values — the
-right trade at 4e11 FLOPs.  The parity-critical small-cloud path
+Precision: NEIGHBOR SELECTION uses the f32 MXU expansion form
+(|x|^2+|y|^2-2xy) — the right trade at 4e11 FLOPs — but the kept
+edges' VALUES are refined in difference form on device (O(E d)), which
+removes the expansion form's catastrophic-cancellation quantization
+(see _refine_edge_values).  The parity-critical small-cloud path
 (tdax.ops.rips.api.rips) uses exact f64 difference-form distances and
 holds the 1e-5 bottleneck bar.
 """
@@ -133,6 +135,44 @@ def _fused_extract_small(xj, n: int, target_degree: int, sample: int,
     return fused(xj, budget)
 
 
+def _refine_edge_values(xj, r: np.ndarray, c: np.ndarray,
+                        block: int = 131072) -> np.ndarray:
+    """Recompute the selected edges' distances in DIFFERENCE form on
+    device: sqrt(sum((x_r - x_c)^2)).
+
+    The expansion form used for selection (|x|^2 + |y|^2 - 2xy) suffers
+    catastrophic cancellation when |x|^2 >> d^2: at |x|^2 ~ 1e3 the f32
+    subtraction quantizes d^2 into ~1e-4 buckets, collapsing millions of
+    edges onto a few thousand tied diameters — which both degrades the
+    filtration's accuracy (~1e-4 -> ~1e-6 relative after refinement) and
+    sends the cohomology engine into tie-induced reduction-chain blowups
+    (100k-point H1: hours -> seconds).  Only the kept edges are refined,
+    so the cost is O(E d), not O(n^2 d).  (r, c) and (c, r) produce
+    bit-identical values (elementwise square before the reduction), so
+    refining directed entries independently keeps the CSR symmetric."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def refine(xr, xc):
+        diff = xr - xc
+        return jnp.sqrt(jnp.sum(diff * diff, axis=1))
+
+    E = len(r)
+    out = np.empty(E, dtype=np.float32)
+    pending = []
+    for e0 in range(0, E, block):
+        hi = min(e0 + block, E)
+        pad = block - (hi - e0)
+        ri = np.concatenate([r[e0:hi], r[:pad]]) if pad else r[e0:hi]
+        ci = np.concatenate([c[e0:hi], c[:pad]]) if pad else c[e0:hi]
+        pending.append((e0, hi, refine(xj[ri.astype(np.int32)],
+                                       xj[ci.astype(np.int32)])))
+    for e0, hi, vals in pending:
+        out[e0:hi] = np.asarray(vals)[:hi - e0]
+    return out
+
+
 def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
                          target_degree: int = 40, mesh=None,
                          degree_headroom: float = 4.0,
@@ -148,6 +188,7 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
     single 16 GB chip).  Exact by construction: the mask covers all
     pairs <= thresh, and an overflow of the per-block edge budget raises
     instead of truncating."""
+    import os
     import time
 
     import jax
@@ -155,11 +196,18 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
 
     from tdax.ops.rips.sparse import rips_sparse
 
+    verbose = os.environ.get("TDAX_VERBOSE") == "1"
+
+    def _v(msg: str) -> None:
+        if verbose:
+            print(f"[tdax.scale] {msg}", flush=True)
+
     timings: dict[str, float] = {}
     t0 = time.time()
     xj = _as_device_f32(x)
     xj.block_until_ready()
     timings["upload_s"] = time.time() - t0
+    _v(f"upload done in {timings['upload_s']:.1f}s")
     n = xj.shape[0]
 
     if n <= fused_max:
@@ -180,8 +228,11 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
         r_local, slot = np.nonzero(keep)
         r = r_local.astype(np.int64)
         c = idx[r_local, slot].astype(np.int32)
-        v = vals[r_local, slot].astype(np.float32)
         timings["extract_s"] = time.time() - t0
+
+        t0 = time.time()
+        v = _refine_edge_values(xj, r, c)
+        timings["refine_s"] = time.time() - t0
 
         t0 = time.time()
         # rows arrive in order but within a row the k-smallest is
@@ -202,6 +253,7 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
     t0 = time.time()
     thresh = _select_threshold(xj, n, target_degree)
     timings["thresh_s"] = time.time() - t0
+    _v(f"threshold {thresh:.4f} in {timings['thresh_s']:.1f}s")
     block_rows = min(block_rows, n)
 
     # per-row neighbor budget; a row with >= row_budget in-threshold
@@ -243,8 +295,9 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
         pending.append((row0, hi, extract_block(rows_slice, xj, jnp.int32(row0),
                                                 jnp.float32(thresh), row_budget)))
     timings["dispatch_s"] = time.time() - t0
+    _v(f"{len(pending)} blocks dispatched in {timings['dispatch_s']:.1f}s")
 
-    rs, cs, vs = [], [], []
+    rs, cs = [], []
     for row0, hi, (idx, vals, keep, truncated) in pending:
         if int(truncated):
             raise ValueError(
@@ -258,14 +311,17 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
         r_local, slot = np.nonzero(keep)
         rs.append((r_local + row0).astype(np.int64))
         cs.append(idx[r_local, slot].astype(np.int32))
-        vs.append(vals[r_local, slot].astype(np.float32))
+        _v(f"block {row0} fetched at +{time.time() - t0:.1f}s")
     timings["extract_s"] = time.time() - t0
 
     t0 = time.time()
     r = np.concatenate(rs)
     c = np.concatenate(cs)
-    v = np.concatenate(vs)
+    v = _refine_edge_values(xj, r, c)
+    timings["refine_s"] = time.time() - t0
+    _v(f"edge values refined in {timings['refine_s']:.1f}s")
 
+    t0 = time.time()
     # rows arrive in order but within a row the top-k is value-sorted;
     # the CSR engine needs column-sorted rows
     order = np.lexsort((c, r))
@@ -274,9 +330,11 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
     np.add.at(indptr, r + 1, 1)
     np.cumsum(indptr, out=indptr)
     timings["csr_s"] = time.time() - t0
+    _v(f"CSR built ({len(c) // 2} edges) in {timings['csr_s']:.1f}s")
 
     t0 = time.time()
     dgms = rips_sparse(indptr, c, v, maxdim=maxdim)
     timings["engine_s"] = time.time() - t0
+    _v(f"engine done in {timings['engine_s']:.1f}s")
     return {"dgms": dgms, "thresh": thresh, "n_edges": int(len(c)) // 2,
             "timings": timings}
