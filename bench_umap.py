@@ -50,20 +50,35 @@ def main() -> None:
     cold = time.time() - t0
     assert emb.shape == (n, 3) and np.all(np.isfinite(emb))
 
-    # warm
+    # warm, host-resident input (includes the host->device upload)
     t0 = time.time()
     emb = UMAP(n_neighbors=k, n_components=3, metric="cosine",
                random_state=42).fit_transform(x)
     warm = time.time() - t0
 
     from tdax.ops.umap.sparse_path import LAST_TIMINGS
+    warm_timings = {kk: round(v, 2) for kk, v in LAST_TIMINGS.items()}
+
+    # warm, HBM-resident input (the product path: activation clouds come
+    # straight out of model capture and never visit the host)
+    import jax
+    x_dev = jax.device_put(x)
+    x_dev.block_until_ready()
+    t0 = time.time()
+    emb = UMAP(n_neighbors=k, n_components=3, metric="cosine",
+               random_state=42).fit_transform(x_dev)
+    warm_dev = time.time() - t0
+
     print(json.dumps({"stage": f"umap_{n}pts_4096d_cosine_k{k}",
                       "cold_s": round(cold, 2), "warm_s": round(warm, 2),
-                      "warm_timings": {kk: round(v, 2)
-                                       for kk, v in LAST_TIMINGS.items()}}))
+                      "warm_hbm_s": round(warm_dev, 2),
+                      "warm_timings": warm_timings}))
     print(json.dumps({"metric": f"umap_scale_{n}pts_4096d_to3d",
                       "value": round(warm, 2), "unit": "s",
                       "vs_baseline": round(TARGET_SECONDS / warm, 1)}))
+    print(json.dumps({"metric": f"umap_scale_{n}pts_4096d_to3d_hbm",
+                      "value": round(warm_dev, 2), "unit": "s",
+                      "vs_baseline": round(TARGET_SECONDS / warm_dev, 1)}))
 
 
 if __name__ == "__main__":

@@ -475,7 +475,10 @@ def embed_sparse(x: np.ndarray, n_neighbors: int, n_components: int,
     import time
     t = {}
     t0 = time.time()
-    xj = jnp.asarray(np.asarray(x), dtype=jnp.float32)
+    if isinstance(x, jax.Array):
+        xj = x if x.dtype == jnp.float32 else x.astype(jnp.float32)
+    else:
+        xj = jnp.asarray(np.asarray(x), dtype=jnp.float32)
     xj.block_until_ready()
     t["upload_s"] = time.time() - t0
     n = xj.shape[0]

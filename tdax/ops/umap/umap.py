@@ -116,7 +116,12 @@ class UMAP:
     sparse_threshold: int = 2048
 
     def fit(self, x: np.ndarray) -> "UMAP":
-        x = jnp.asarray(np.asarray(x), dtype=jnp.float32)
+        # a jax.Array input passes through without a host round-trip
+        # (the product path: activation clouds are born in HBM)
+        if isinstance(x, jax.Array):
+            x = x if x.dtype == jnp.float32 else x.astype(jnp.float32)
+        else:
+            x = jnp.asarray(np.asarray(x), dtype=jnp.float32)
         n = x.shape[0]
         if n < 2:
             raise ValueError(f"UMAP requires at least 2 samples, got {n}")
@@ -149,7 +154,10 @@ class UMAP:
         the shared-camera mode of analyze_tda_over_layers.py:65-72."""
         if self.embedding_ is None:
             raise RuntimeError("transform called before fit")
-        x = jnp.asarray(np.asarray(x), dtype=jnp.float32)
+        if isinstance(x, jax.Array):
+            x = x if x.dtype == jnp.float32 else x.astype(jnp.float32)
+        else:
+            x = jnp.asarray(np.asarray(x), dtype=jnp.float32)
         n_new = x.shape[0]
         n_train = self._train_x.shape[0]
         k = min(self.n_neighbors, n_train)
