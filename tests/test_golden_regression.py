@@ -28,6 +28,14 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 REGEN = os.environ.get("TDAX_REGEN_GOLDENS") == "1"
 CFG = QwenVLConfig.tiny(dtype="float32")
 
+# the pinned values are CPU-trajectory goldens: TPU f32 matmul rounding
+# shifts the UMAP SGD path, so exact stats legitimately differ there.
+# TPU-vs-CPU geometry parity is covered by dryrun_multichip stage 2 and
+# the structure tests; these goldens gate drift on the CPU CI path.
+pytestmark = pytest.mark.skipif(
+    os.environ.get("TDAX_TEST_TPU") == "1",
+    reason="goldens are pinned on the CPU trajectory")
+
 
 @pytest.fixture(scope="module")
 def dataset(tmp_path_factory):

@@ -14,7 +14,6 @@ import sys
 import numpy as np
 import pytest
 
-from tdax.ops.rips import rips
 from tdax.ops.rips.native import available
 
 _SCRIPT = r"""
@@ -34,26 +33,29 @@ print(json.dumps([d.tolist() for d in out["dgms"]]))
 """
 
 
-@pytest.mark.skipif(not available(), reason="native engine unavailable")
-def test_threaded_engines_match_single_threaded(tmp_path):
-    env = dict(os.environ, TDAX_THREADS="4", TDAX_FORCE_CPU="1")
+def _run_engines(threads: str) -> tuple[list, list]:
+    # both runs happen in CPU subprocesses so the comparison isolates the
+    # thread count: the parent may be on TPU (TDAX_TEST_TPU), whose f32
+    # reduction order differs from CPU at the last ulp
+    env = dict(os.environ, TDAX_THREADS=threads, TDAX_FORCE_CPU="1")
     proc = subprocess.run([sys.executable, "-c", _SCRIPT], env=env,
                           capture_output=True, text=True, timeout=300,
                           cwd=os.path.dirname(os.path.dirname(__file__)))
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("[")]
-    dense_mt, sparse_mt = (json.loads(l) for l in lines[-2:])
+    dense, sparse = (json.loads(l) for l in lines[-2:])
+    return dense, sparse
 
-    rng = np.random.default_rng(7)
-    x = rng.normal(size=(48, 5))
-    dense_st = rips(x, maxdim=2, backend="native")["dgms"]
+
+@pytest.mark.skipif(not available(), reason="native engine unavailable")
+def test_threaded_engines_match_single_threaded(tmp_path):
+    dense_mt, sparse_mt = _run_engines("4")
+    dense_st, sparse_st = _run_engines("1")
     for got, want in zip(dense_mt, dense_st):
-        np.testing.assert_allclose(np.asarray(got).reshape(-1, 2), want,
+        np.testing.assert_allclose(np.asarray(got).reshape(-1, 2),
+                                   np.asarray(want).reshape(-1, 2),
                                    rtol=0, atol=0)
-
-    from tdax.pipeline.scale import rips_at_scale_sparse
-    sparse_st = rips_at_scale_sparse(x.astype(np.float32), maxdim=2,
-                                     target_degree=20)["dgms"]
     for got, want in zip(sparse_mt, sparse_st):
-        np.testing.assert_allclose(np.asarray(got).reshape(-1, 2), want,
+        np.testing.assert_allclose(np.asarray(got).reshape(-1, 2),
+                                   np.asarray(want).reshape(-1, 2),
                                    rtol=0, atol=0)

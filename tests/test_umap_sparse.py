@@ -30,24 +30,30 @@ def test_knn_blocked_matches_exact():
 
 
 def test_build_sym_edges_matches_dense_symmetrization():
-    """Edge-list W == the dense path's A + A^T - A o A^T on the same
-    membership lists."""
-    from tdax.ops.umap.fuzzy import (fuzzy_simplicial_set, knn,
-                                     membership_strengths_knn, pairwise,
-                                     smooth_knn_dist)
+    """Edge-list W == dense A + A^T - A o A^T built from the SAME
+    membership lists (the algebra under test is the host COO merge, so
+    the dense side is assembled in numpy from identical inputs — a
+    second device distance pass would diverge in TPU f32)."""
+    from tdax.ops.umap.fuzzy import (knn, membership_strengths_knn,
+                                     pairwise, smooth_knn_dist)
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=(80, 8)).astype(np.float32))
-    w_dense, _, _ = fuzzy_simplicial_set(x, 6, "euclidean")
     dist = pairwise(x, "euclidean")
     idx, dists = knn(dist, 6)
     sigma, rho = smooth_knn_dist(dists, 6.0)
     w_knn = membership_strengths_knn(idx, dists, sigma, rho)
     head, tail, wgt = build_sym_edges(np.asarray(idx), np.asarray(w_knn))
 
+    a = np.zeros((80, 80), np.float64)
+    rows = np.repeat(np.arange(80), 6)
+    np.maximum.at(a, (rows, np.asarray(idx).reshape(-1)),
+                  np.asarray(w_knn, np.float64).reshape(-1))
+    np.fill_diagonal(a, 0.0)
+    w_dense = a + a.T - a * a.T
+
     rebuilt = np.zeros((80, 80), np.float64)
     rebuilt[head, tail] = wgt
-    np.testing.assert_allclose(rebuilt, np.asarray(w_dense), rtol=1e-5,
-                               atol=1e-6)
+    np.testing.assert_allclose(rebuilt, w_dense, rtol=1e-5, atol=1e-6)
 
 
 def test_spectral_init_edges_separates_components():
