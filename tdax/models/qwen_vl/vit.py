@@ -134,8 +134,15 @@ def resampler(x: jnp.ndarray, params: dict, cfg: VisualConfig) -> jnp.ndarray:
 
 
 def visual_encode(images: jnp.ndarray, params: dict, cfg: VisualConfig) -> jnp.ndarray:
-    """images [B, 3, S, S] -> visual tokens [B, n_queries, output_dim]."""
-    x = patch_embed(images, params["patch_w"], cfg)
+    """images [B, 3, S, S] -> visual tokens [B, n_queries, output_dim].
+
+    The tower computes in the MODEL's dtype (taken from the ln_pre
+    weights), not the input images' dtype: benches and the pipeline feed
+    f32 pixels, and letting that propagate ran all 48 ViT blocks as f32
+    matmuls — 0.73 s of the 1.19 s full-model step (~5% MFU) before this
+    cast, 62% of the whole forward."""
+    dtype = params["ln_pre_w"].dtype
+    x = patch_embed(images.astype(dtype), params["patch_w"], cfg)
     x = x + params["pos_embed"].astype(x.dtype)
     x = layer_norm(x, params["ln_pre_w"], params["ln_pre_b"], cfg.layer_norm_eps)
 
@@ -145,4 +152,4 @@ def visual_encode(images: jnp.ndarray, params: dict, cfg: VisualConfig) -> jnp.n
     x, _ = jax.lax.scan(step, x, params["blocks"])
     x = resampler(x, params["resampler"], cfg)
     x = layer_norm(x, params["ln_post_w"], params["ln_post_b"], cfg.layer_norm_eps)
-    return qdot(x, params["proj"]).astype(images.dtype)
+    return qdot(x, params["proj"]).astype(dtype)
