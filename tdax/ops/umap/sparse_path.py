@@ -287,10 +287,11 @@ def optimize_layout_edges(init: jnp.ndarray,
                               0.0)
         att = jnp.clip(att_coeff[:, None] * diff, -4.0, 4.0)
         att = jnp.where(active[:, None], att, 0.0)
-        force = jax.ops.segment_sum(att, head, num_segments=n) \
+        force = jax.ops.segment_sum(att, head, num_segments=n,
+                                    indices_are_sorted=True) \
             - jax.ops.segment_sum(att, tail, num_segments=n)
         cnt = jax.ops.segment_sum(active.astype(jnp.float32), head,
-                                  num_segments=n) \
+                                  num_segments=n, indices_are_sorted=True) \
             + jax.ops.segment_sum(active.astype(jnp.float32), tail,
                                   num_segments=n)
 
@@ -315,9 +316,11 @@ def optimize_layout_edges(init: jnp.ndarray,
         on = neg_on & ~(zero_d & is_tail)
         rep = jnp.where(on[..., None], rep, 0.0)
         force = force + jax.ops.segment_sum(jnp.sum(rep, axis=1), head,
-                                            num_segments=n)
+                                            num_segments=n,
+                                            indices_are_sorted=True)
         cnt = cnt + jax.ops.segment_sum(
-            jnp.sum(on, axis=1).astype(jnp.float32), head, num_segments=n)
+            jnp.sum(on, axis=1).astype(jnp.float32), head, num_segments=n,
+            indices_are_sorted=True)
 
         emb = emb + force / jnp.maximum(cnt, 1.0)[:, None] * alpha
         eons = jnp.where(active, eons + eps, eons)
@@ -379,9 +382,11 @@ def optimize_layout_edges_fixed_tail(init: jnp.ndarray,
                               0.0)
         att = jnp.clip(att_coeff[:, None] * diff, -4.0, 4.0)
         att = jnp.where(active[:, None], att, 0.0)
-        force = jax.ops.segment_sum(att, head, num_segments=n_head)
+        force = jax.ops.segment_sum(att, head, num_segments=n_head,
+                                    indices_are_sorted=True)
         cnt = jax.ops.segment_sum(active.astype(jnp.float32), head,
-                                  num_segments=n_head)
+                                  num_segments=n_head,
+                                  indices_are_sorted=True)
 
         # --- repulsive (negatives from the train set; heads move) ---
         n_neg = jnp.where(active,
@@ -404,10 +409,11 @@ def optimize_layout_edges_fixed_tail(init: jnp.ndarray,
         on = neg_on & ~(zero_d & is_tail)
         rep = jnp.where(on[..., None], rep, 0.0)
         force = force + jax.ops.segment_sum(jnp.sum(rep, axis=1), head,
-                                            num_segments=n_head)
+                                            num_segments=n_head,
+                                            indices_are_sorted=True)
         cnt = cnt + jax.ops.segment_sum(
             jnp.sum(on, axis=1).astype(jnp.float32), head,
-            num_segments=n_head)
+            num_segments=n_head, indices_are_sorted=True)
 
         emb = emb + force / jnp.maximum(cnt, 1.0)[:, None] * alpha
         eons = jnp.where(active, eons + eps, eons)
