@@ -14,6 +14,13 @@ TPU.
 import os
 import sys
 
+# _PROJECT_ROOT_BOOTSTRAP: the reference's experiment scripts run
+# from any cwd (PROJECT_ROOT from __file__, reference
+# generate_adversarial_metadata.py:7-9); mirror that for the tdax
+# import itself so the scripts work without pip-installing the repo
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
+
 from tdax.config import DatasetConfig, ExtractConfig
 from tdax.data.io import load_metadata
 from tdax.models.qwen_vl import QwenVLConfig

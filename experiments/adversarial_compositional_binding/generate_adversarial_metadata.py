@@ -9,6 +9,14 @@ Path-independent via PROJECT_ROOT from __file__ (reference :7-9).
 """
 
 import os
+import sys
+
+# _PROJECT_ROOT_BOOTSTRAP: the reference's experiment scripts run
+# from any cwd (PROJECT_ROOT from __file__, reference
+# generate_adversarial_metadata.py:7-9); mirror that for the tdax
+# import itself so the scripts work without pip-installing the repo
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
 
 from tdax.config import DatasetConfig
 from tdax.data import load_metadata

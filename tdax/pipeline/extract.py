@@ -89,7 +89,10 @@ def extract_activations(metadata: list[dict], output_path: str,
         params = quantize_params(params)
     params = jax.device_put(params)
 
-    tmp_path = output_path + ".tmp"
+    # ".tmp.npz", not ".tmp": np.savez appends ".npz" to any other name,
+    # which silently de-synced the written checkpoint from the path the
+    # resume/cleanup logic checked (resume never fired, tmp never removed)
+    tmp_path = output_path + ".tmp.npz"
     done_acts: np.ndarray | None = None
     done_ids: list[str] = []
     if os.path.exists(tmp_path):

@@ -1,6 +1,8 @@
 """Extraction pipeline: toy-model end-to-end, schema, checkpoint/resume."""
 
+import glob
 import os
+import unittest.mock
 
 import numpy as np
 import pytest
@@ -9,6 +11,7 @@ from tdax.config import DatasetConfig, ExtractConfig
 from tdax.data import generate_dataset
 from tdax.data.io import load_activations
 from tdax.models.qwen_vl import QwenVLConfig
+import tdax.pipeline.extract as extract_mod
 from tdax.pipeline.extract import extract_activations
 
 CFG = QwenVLConfig.tiny(dtype="float32")
@@ -95,8 +98,9 @@ def test_checkpoint_resume(dataset, tmp_path):
     # simulate a crash: run only the first 8 samples, keep the .tmp
     extract_activations(metadata[:8], out, CFG, ecfg, verbose=False)
     # the partial run finished "successfully" for its 8 samples, so fake
-    # the crash state by moving its npz to the .tmp slot
-    os.replace(out.replace(".pt", ".npz"), out + ".tmp")
+    # the crash state by moving its npz to the EXACT tmp slot the
+    # checkpoint writer uses (".tmp.npz" — np.savez appends ".npz")
+    os.replace(out.replace(".pt", ".npz"), out + ".tmp.npz")
     os.remove(out)
 
     # resume over the full metadata: must skip the 8 done ids
@@ -106,4 +110,28 @@ def test_checkpoint_resume(dataset, tmp_path):
         np.testing.assert_allclose(resumed[sid]["activations"]["layer_3"],
                                    full[sid]["activations"]["layer_3"],
                                    rtol=1e-5, atol=1e-6)
-    assert not os.path.exists(out + ".tmp")
+    assert not glob.glob(out + ".tmp*")
+
+
+def test_midrun_checkpoint_lands_on_resume_path(dataset, tmp_path):
+    """The mid-run checkpoint must be written to the SAME path the resume
+    logic checks (a .tmp/.tmp.npz mismatch once made resume a silent
+    no-op and leaked the tmp file past the success cleanup)."""
+    ds, metadata = dataset
+    out = str(tmp_path / "mid.pt")
+    ecfg = ExtractConfig(model_dir=None, batch_size=4, save_interval=4)
+
+    seen = {}
+    orig = extract_mod.save_activations_npz
+
+    def spy(path, *a, **kw):
+        orig(path, *a, **kw)
+        seen[path] = os.path.exists(path)
+
+    with unittest.mock.patch.object(extract_mod, "save_activations_npz", spy):
+        extract_activations(metadata[:8], out, CFG, ecfg, verbose=False)
+    tmp_writes = [p for p in seen if ".tmp" in p]
+    assert tmp_writes, "no mid-run checkpoint was written"
+    for p in tmp_writes:
+        assert seen[p], f"checkpoint path {p} not on disk at write time"
+    assert not glob.glob(out + ".tmp*")  # removed on success
