@@ -43,10 +43,6 @@ def main() -> None:
 
     if mode == "sparse":
         from tdax.pipeline.scale import rips_at_scale_sparse
-        # two passes: the first eats the erratic remote-compile latency
-        # (this environment's TPU relay compiles take seconds to minutes,
-        # uncorrelated with program cost); the second is the honest
-        # steady-state number a resident service would see
         # three passes: "cold" eats the erratic remote-compile latency;
         # "warm_host" is steady-state including the host->device upload
         # (this relay moves ~28 MB/s, so a 10k x 4096 f32 cloud costs

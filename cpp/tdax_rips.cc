@@ -733,6 +733,8 @@ int TDAX_ENTRY(const value_t* dist, int n, int maxdim, double thresh,
     *out = buf;
     *out_len = static_cast<long>(3 * bars.size());
     return 0;
+  } catch (const std::bad_alloc&) {
+    return 5;  // rc 4 is the invariant-violation code in this engine
   } catch (...) {
     return 1;
   }

@@ -110,6 +110,9 @@ def rips_native(dist: np.ndarray, maxdim: int = 1,
         raise AssertionError(
             "zero column under enclosing-radius threshold — filtration "
             "should be acyclic above dim 0 (engine invariant violated)")
+    if rc == 5:
+        raise MemoryError("native rips engine ran out of memory "
+                          "(dense engine std::bad_alloc)")
     if rc != 0:
         raise RuntimeError(f"tdax_rips_dense failed with code {rc}")
     try:

@@ -98,7 +98,21 @@ def extract_activations(metadata: list[dict], output_path: str,
     if os.path.exists(tmp_path):
         try:
             done_acts, done_ids, _ = load_activations_npz(tmp_path)
-            if verbose:
+            # Guard against a stale checkpoint from a DIFFERENT run over
+            # the same output dir (e.g. a .tmp.npz leaked by a pre-fix
+            # crash): every checkpointed id must belong to the current
+            # metadata, else resuming would splice foreign activations.
+            current_ids = {m["id"] for m in metadata}
+            stale = [i for i in done_ids if i not in current_ids]
+            if stale:
+                print(f"Warning: checkpoint {tmp_path} holds {len(stale)} "
+                      f"sample ids not in the current metadata "
+                      f"(e.g. {stale[0]!r}) — stale checkpoint from another "
+                      f"run; starting fresh.")
+                done_acts, done_ids = None, []
+            else:
+                # resume is a state-changing surprise after a crash the
+                # user may not know about — always announce it
                 print(f"Found existing checkpoint, resuming... "
                       f"({len(done_ids)} samples done)")
         except Exception as e:

@@ -187,7 +187,14 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
     limited by the edge list, not by an n x n matrix (100k+ points on a
     single 16 GB chip).  Exact by construction: the mask covers all
     pairs <= thresh, and an overflow of the per-block edge budget raises
-    instead of truncating."""
+    instead of truncating.
+
+    Note on the returned filtration: edge MEMBERSHIP (d <= thresh) is
+    decided with expansion-form distances (|x|^2 + |y|^2 - 2xy), while
+    the stored edge VALUES are refined in difference form (~1e-6
+    relative), so edges within ~1e-4 relative of the threshold can land
+    on either side of it — acceptable because thresh is itself a
+    median-kNN heuristic, not a sharp geometric boundary."""
     import os
     import time
 

@@ -135,3 +135,22 @@ def test_midrun_checkpoint_lands_on_resume_path(dataset, tmp_path):
     for p in tmp_writes:
         assert seen[p], f"checkpoint path {p} not on disk at write time"
     assert not glob.glob(out + ".tmp*")  # removed on success
+
+
+def test_stale_checkpoint_from_other_run_discarded(dataset, tmp_path, capsys):
+    """A leaked .tmp.npz whose sample ids don't belong to the current
+    metadata (e.g. from a pre-fix run over a different dataset in the
+    same output dir) must be discarded, not silently spliced in."""
+    ds, metadata = dataset
+    out = str(tmp_path / "stale.pt")
+    ecfg = ExtractConfig(model_dir=None, batch_size=4, save_interval=100)
+
+    # forge a checkpoint with foreign ids at the exact resume path
+    foreign = [dict(m, id=m["id"] + "_other_run") for m in metadata[:4]]
+    extract_activations(foreign, str(tmp_path / "foreign.pt"), CFG, ecfg,
+                        verbose=False)
+    os.replace(str(tmp_path / "foreign.npz"), out + ".tmp.npz")
+
+    results = extract_activations(metadata[:8], out, CFG, ecfg, verbose=False)
+    assert set(results) == {m["id"] for m in metadata[:8]}  # no foreign ids
+    assert "stale checkpoint" in capsys.readouterr().out
