@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from tdax.models.qwen_vl.config import QwenVLConfig
 from tdax.models.qwen_vl.quantize import qdot
+from tdax.ops.flash_attention import AttnSpec, mha
 
 
 def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -69,26 +70,19 @@ def project_qkv(x: jnp.ndarray, layer: dict, cfg: QwenVLConfig,
 
 
 def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-           mask: jnp.ndarray, layer: dict, cfg: QwenVLConfig) -> jnp.ndarray:
+           mask, layer: dict, cfg: QwenVLConfig) -> jnp.ndarray:
     """Scaled masked attention + output projection.
-    q [B, Tq, nh, hd], k/v [B, Tk, nh, hd], mask additive broadcastable
-    to [B, nh, Tq, Tk]; returns [B, Tq, H]."""
+    q [B, Tq, nh, hd], k/v [B, Tk, nh, hd]; ``mask`` is an additive
+    array broadcastable to [B, nh, Tq, Tk] (decode path) or an
+    ``AttnSpec`` (flash path on TPU); returns [B, Tq, H]."""
     b, tq = q.shape[0], q.shape[1]
-    scale = 1.0 / jnp.sqrt(jnp.float32(cfg.head_dim))
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    logits = logits + mask
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                     preferred_element_type=jnp.float32).astype(q.dtype)
-    out = out.reshape(b, tq, cfg.hidden_size)
+    out = mha(q, k, v, mask).reshape(b, tq, cfg.hidden_size)
     return qdot(out, layer["attn_proj_w"])
 
 
 def attention(x: jnp.ndarray, layer: dict, cfg: QwenVLConfig,
-              cos: jnp.ndarray, sin: jnp.ndarray,
-              mask: jnp.ndarray) -> jnp.ndarray:
-    """x [B, T, H]; mask [B, 1, T, T] additive (0 or -inf)."""
+              cos: jnp.ndarray, sin: jnp.ndarray, mask) -> jnp.ndarray:
+    """x [B, T, H]; mask: AttnSpec or additive [B, 1, T, T]."""
     q, k, v = project_qkv(x, layer, cfg, cos, sin)
     return attend(q, k, v, mask, layer, cfg)
 
@@ -125,7 +119,7 @@ def decoder_capture(stacked_layers: dict, x: jnp.ndarray, cfg: QwenVLConfig,
     b, t, _ = x.shape
     positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
     cos, sin = rotary_cos_sin(positions, cfg.head_dim, cfg.rope_base)
-    mask = causal_mask(attn_mask)
+    mask = AttnSpec(kv_valid=attn_mask, causal=True)
     # one-hot contraction instead of a batched gather: identical result,
     # but shards cleanly over a dp-partitioned batch axis under GSPMD
     # (advanced indexing across a sharded axis lowers poorly).
@@ -146,7 +140,7 @@ def decoder(stacked_layers: dict, x: jnp.ndarray, cfg: QwenVLConfig,
     b, t, _ = x.shape
     positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
     cos, sin = rotary_cos_sin(positions, cfg.head_dim, cfg.rope_base)
-    mask = causal_mask(attn_mask)
+    mask = AttnSpec(kv_valid=attn_mask, causal=True)
 
     def step(h, layer):
         return block(h, layer, cfg, cos, sin, mask), None

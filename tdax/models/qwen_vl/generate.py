@@ -25,9 +25,9 @@ import jax
 import jax.numpy as jnp
 
 from tdax.models.qwen_vl.config import QwenVLConfig
-from tdax.models.qwen_vl.decoder import (attend, causal_mask, mlp,
-                                         project_qkv, rms_norm,
+from tdax.models.qwen_vl.decoder import (attend, mlp, project_qkv, rms_norm,
                                          rotary_cos_sin)
+from tdax.ops.flash_attention import AttnSpec
 from tdax.models.qwen_vl.model import embed_inputs
 from tdax.models.qwen_vl.quantize import embed_lookup, qdot
 
@@ -49,7 +49,7 @@ def prefill(params, cfg: QwenVLConfig, input_ids, attn_mask,
     t_max = t_max or t
     positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
     cos, sin = rotary_cos_sin(positions, cfg.head_dim, cfg.rope_base)
-    mask = causal_mask(attn_mask)
+    mask = AttnSpec(kv_valid=attn_mask, causal=True)
 
     def step(h, layer):
         h, k, v = _prefill_block(h, layer, cfg, cos, sin, mask)

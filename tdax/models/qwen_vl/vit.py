@@ -45,18 +45,20 @@ def patch_embed(images: jnp.ndarray, w: jnp.ndarray, cfg: VisualConfig) -> jnp.n
 
 
 def _mha(q, k, v, n_heads: int):
-    """Standard multi-head attention on [B, T, D] inputs (already projected)."""
+    """Multi-head attention on [B, T, D] inputs (already projected).
+
+    Dense (non-causal) self- or cross-attention; on TPU this takes the
+    fused Pallas flash kernel — at 1024 patch tokens the materialized
+    [B, nh, T, T] f32 logits were the single largest HBM-traffic term
+    of the whole capture forward."""
+    from tdax.ops.flash_attention import AttnSpec, mha
     b, tq, d = q.shape
     tk = k.shape[1]
     hd = d // n_heads
-    q = q.reshape(b, tq, n_heads, hd)
-    k = k.reshape(b, tk, n_heads, hd)
-    v = v.reshape(b, tk, n_heads, hd)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) / np.sqrt(hd)
-    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                     preferred_element_type=jnp.float32).astype(q.dtype)
+    out = mha(q.reshape(b, tq, n_heads, hd),
+              k.reshape(b, tk, n_heads, hd),
+              v.reshape(b, tk, n_heads, hd),
+              AttnSpec(kv_valid=None, causal=False))
     return out.reshape(b, tq, d)
 
 

@@ -1,0 +1,265 @@
+"""Fused flash attention for TPU (Pallas tiled online-softmax kernel).
+
+The model forward is the reference's device-heavy path
+(extract_activations.py:110-111).  The XLA formulation materializes
+[B, n_heads, Tq, Tk] float32 logits AND probabilities in HBM for every
+layer — at the ViT's 1024 patch tokens that is ~1 GB of f32 traffic per
+block, 48 blocks per image batch, and it capped the capture forward at
+33.6% MFU.  This kernel keeps the score tile in VMEM: for each
+(batch*head, q-block) it streams k/v blocks through the MXU, maintains
+the running row max / normalizer of the online softmax in VMEM scratch,
+and writes only the [Tq, head_dim] output to HBM.
+
+Shared by the decoder (causal + key-validity), the ViT blocks
+(dense self-attention), the resampler (cross-attention), and prefill —
+``AttnSpec`` carries the mask structurally (a [B, Tk] validity row +
+a causal flag) so the O(T^2) additive mask is never materialized on
+the flash path.
+
+Backward: the fused kernel is forward-only; gradients go through a
+``custom_vjp`` whose backward recomputes attention with the reference
+XLA formulation and differentiates that (flash-attention backward
+kernels trade this memory back for another fused pass; capture/serving
+— the perf-critical paths — never take gradients).
+
+Off-TPU (tests, CPU mesh dryrun) the dispatcher falls back to the
+reference einsum path; the kernel itself stays testable anywhere via
+Pallas interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30  # matches the additive-mask convention in decoder.causal_mask
+
+
+class AttnSpec:
+    """Structural attention mask: key-validity row + causal flag.
+
+    ``kv_valid``: [B, Tk] bool/int (1 = real token) or None (all valid).
+    ``causal``: static Python bool.  Not a pytree — pass via closure,
+    never through scan carries or jit boundaries.
+    """
+
+    __slots__ = ("kv_valid", "causal")
+
+    def __init__(self, kv_valid=None, causal: bool = False):
+        self.kv_valid = kv_valid
+        self.causal = bool(causal)
+
+    def additive(self, tq: int, tk: int, batch: int) -> jnp.ndarray:
+        """Materialized additive mask [B, 1, tq, tk] (fallback path)."""
+        if self.kv_valid is not None:
+            keyed = (self.kv_valid > 0)[:, None, :]          # [B, 1, Tk]
+        else:
+            keyed = jnp.ones((batch, 1, tk), dtype=bool)
+        if self.causal:
+            keyed = keyed & jnp.tril(jnp.ones((tq, tk), dtype=bool))[None]
+        return jnp.where(keyed, 0.0, NEG_INF)[:, None, :, :].astype(jnp.float32)
+
+
+def flash_enabled() -> bool:
+    if os.environ.get("TDAX_NO_FLASH") == "1":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - backend probing never fatal
+        return False
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
+            causal: bool, blk_q: int, blk_k: int, scale: float,
+            precision, out_dtype):
+    i, j = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    def body():
+        s = jax.lax.dot_general(
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision) * scale                      # [blk_q, blk_k]
+        s = s + bias_ref[0]                                   # [1, blk_k] bcast
+        if causal:
+            rows = i * blk_q + jax.lax.broadcasted_iota(
+                jnp.int32, (blk_q, blk_k), 0)
+            cols = j * blk_k + jax.lax.broadcasted_iota(
+                jnp.int32, (blk_q, blk_k), 1)
+            s = jnp.where(cols <= rows, s, NEG_INF)
+
+        m_prev = m_ref[:, 0:1]                                # [blk_q, 1]
+        l_prev = l_ref[:, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)                                # [blk_q, blk_k]
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    if causal:
+        # skip k/v blocks entirely above the diagonal
+        @pl.when(j * blk_k <= i * blk_q + blk_q - 1)
+        def _():
+            body()
+    else:
+        body()
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        # fully-masked (padding) query rows have l == 0 via exp underflow
+        # only when nothing was accumulated; guard the divide — their
+        # output is sliced off / masked out downstream anyway
+        l = l_ref[:, 0:1]
+        o_ref[0] = (acc_ref[:] / jnp.where(l == 0.0, 1.0, l)).astype(out_dtype)
+
+
+def _flash_impl(q, k, v, bias, causal: bool, interpret: bool) -> jnp.ndarray:
+    """q [B, Tq, nh, hd], k/v [B, Tk, nh, hd], bias [B, Tk] additive f32
+    -> [B, Tq, nh, hd] in q.dtype."""
+    b, tq, nh, hd = q.shape
+    tk = k.shape[1]
+    hd_pad = _round_up(hd, 128)
+    tq_pad = _round_up(tq, 128)
+    tk_pad = _round_up(tk, 128)
+    blk_q = min(128, tq_pad)
+    blk_k = next(s for s in (512, 384, 256, 128) if tk_pad % s == 0)
+    # true f32 MXU passes when the model itself runs f32 (parity tests);
+    # bf16 params keep the native bf16-multiply/f32-accumulate path
+    precision = (jax.lax.Precision.HIGHEST
+                 if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+
+    def prep(x, t_pad):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * nh, x.shape[1], hd)
+        return jnp.pad(x, ((0, 0), (0, t_pad - x.shape[1]), (0, hd_pad - hd)))
+
+    qt, kt, vt = prep(q, tq_pad), prep(k, tk_pad), prep(v, tk_pad)
+    # [B, 1, tk_pad]: the singleton middle dim keeps the block's
+    # second-to-last dimension equal to the array's (TPU tiling rule)
+    bias_p = jnp.pad(bias.astype(jnp.float32), ((0, 0), (0, tk_pad - tk)),
+                     constant_values=NEG_INF)[:, None, :]
+
+    grid = (b * nh, tq_pad // blk_q, tk_pad // blk_k)
+    kernel = functools.partial(
+        _kernel, causal=causal, blk_q=blk_q, blk_k=blk_k,
+        scale=1.0 / np.sqrt(hd), precision=precision, out_dtype=q.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, blk_k), lambda g, i, j: (g // nh, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_q, hd_pad), lambda g, i, j: (g, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_k, hd_pad), lambda g, i, j: (g, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_k, hd_pad), lambda g, i, j: (g, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, blk_q, hd_pad), lambda g, i, j: (g, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * nh, tq_pad, hd_pad), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((blk_q, hd_pad), jnp.float32),   # acc
+            pltpu.VMEM((blk_q, 128), jnp.float32),      # running max
+            pltpu.VMEM((blk_q, 128), jnp.float32),      # running denom
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * nh * tq_pad * tk_pad * hd_pad,
+            bytes_accessed=(qt.size + 2 * kt.size) * qt.dtype.itemsize
+            + out_size_bytes(b, nh, tq_pad, hd_pad, q.dtype),
+            transcendentals=b * nh * tq_pad * tk_pad),
+        interpret=interpret,
+    )(bias_p, qt, kt, vt)
+    out = out.reshape(b, nh, tq_pad, hd_pad)[:, :, :tq, :hd]
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
+def out_size_bytes(b, nh, tq, hd, dtype) -> int:
+    return b * nh * tq * hd * jnp.dtype(dtype).itemsize
+
+
+def _reference_mha(q, k, v, additive, precision=None) -> jnp.ndarray:
+    """The XLA formulation (numerically identical to the pre-flash
+    decoder/ViT attention): full [B, nh, Tq, Tk] f32 logits + softmax."""
+    scale = 1.0 / jnp.sqrt(jnp.float32(q.shape[-1]))
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32,
+                        precision=precision) * scale
+    logits = logits + additive
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                      preferred_element_type=jnp.float32,
+                      precision=precision).astype(q.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _get_flash(causal: bool, interpret: bool):
+    """custom_vjp-wrapped flash attention for a static (causal, interpret)
+    pair: fused forward, reference-recompute backward."""
+
+    @jax.custom_vjp
+    def f(q, k, v, bias):
+        return _flash_impl(q, k, v, bias, causal, interpret)
+
+    def fwd(q, k, v, bias):
+        return _flash_impl(q, k, v, bias, causal, interpret), (q, k, v, bias)
+
+    def bwd(res, g):
+        q, k, v, bias = res
+        tq, tk = q.shape[1], k.shape[1]
+        add = bias.astype(jnp.float32)[:, None, None, :]
+        if causal:
+            add = add + jnp.where(
+                jnp.tril(jnp.ones((tq, tk), dtype=bool)), 0.0, NEG_INF)
+
+        def ref(q_, k_, v_):
+            return _reference_mha(q_, k_, v_, add)
+
+        _, vjp = jax.vjp(ref, q, k, v)
+        dq, dk, dv = vjp(g)
+        return dq, dk, dv, jnp.zeros_like(bias)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def mha(q, k, v, mask) -> jnp.ndarray:
+    """Multi-head attention used by decoder, ViT, resampler, and prefill.
+
+    q [B, Tq, nh, hd], k/v [B, Tk, nh, hd]; ``mask`` is either an
+    additive array broadcastable to [B, nh, Tq, Tk] (decode path) or an
+    ``AttnSpec`` — specs take the fused Pallas kernel on TPU and the
+    reference einsum path elsewhere.  Returns [B, Tq, nh, hd]."""
+    if isinstance(mask, AttnSpec):
+        if flash_enabled():
+            b, tk = q.shape[0], k.shape[1]
+            if mask.kv_valid is not None:
+                bias = jnp.where(mask.kv_valid > 0, 0.0, NEG_INF
+                                 ).astype(jnp.float32)
+            else:
+                bias = jnp.zeros((b, tk), jnp.float32)
+            return _get_flash(mask.causal, False)(q, k, v, bias)
+        mask = mask.additive(q.shape[1], k.shape[1], q.shape[0])
+    return _reference_mha(q, k, v, mask)

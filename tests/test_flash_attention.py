@@ -1,0 +1,120 @@
+"""Flash attention: Pallas kernel (interpret mode) vs the reference
+einsum formulation, mask/causal/raggedness coverage, custom_vjp path."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tdax.ops.flash_attention import (AttnSpec, _get_flash, _reference_mha,
+                                      NEG_INF, mha)
+
+# Interpret-mode kernels evaluate op-by-op on the default backend; on
+# the relayed TPU that is hundreds of round-trips per test.  These are
+# CPU tests of the kernel's math; the REAL compiled kernel is covered
+# on hardware by test_mha_dispatch_matches_reference + the model suite.
+interpret_only_on_cpu = pytest.mark.skipif(
+    os.environ.get("TDAX_TEST_TPU") == "1",
+    reason="interpret-mode kernel tests are CPU-targeted; the compiled "
+           "kernel is covered by the dispatch/model tests on TPU")
+
+
+def _rand_qkv(rng, b, tq, tk, nh, hd, dtype=np.float32):
+    q = jnp.asarray(rng.normal(size=(b, tq, nh, hd)).astype(dtype))
+    k = jnp.asarray(rng.normal(size=(b, tk, nh, hd)).astype(dtype))
+    v = jnp.asarray(rng.normal(size=(b, tk, nh, hd)).astype(dtype))
+    return q, k, v
+
+
+def _bias_from_valid(valid):
+    return jnp.where(valid > 0, 0.0, NEG_INF).astype(jnp.float32)
+
+
+@interpret_only_on_cpu
+@pytest.mark.parametrize("tq,tk,nh,hd,causal", [
+    (40, 40, 2, 16, True),     # ragged causal self-attention (decoder)
+    (40, 40, 2, 16, False),    # ragged dense
+    (8, 40, 2, 20, False),     # cross-attention, hd not 128-aligned
+    (130, 130, 1, 128, True),  # spills into a second q block
+    (16, 260, 1, 32, False),   # multiple k blocks (tk_pad 384 -> blk 384)
+])
+def test_flash_matches_reference(tq, tk, nh, hd, causal):
+    rng = np.random.default_rng(0)
+    b = 2
+    q, k, v = _rand_qkv(rng, b, tq, tk, nh, hd)
+    valid = np.ones((b, tk), np.int32)
+    valid[0, tk - 7:] = 0  # ragged sample
+    valid = jnp.asarray(valid)
+
+    got = _get_flash(causal, True)(q, k, v, _bias_from_valid(valid))
+    want = _reference_mha(
+        q, k, v, AttnSpec(kv_valid=valid, causal=causal).additive(tq, tk, b))
+
+    # compare only rows that are real queries under the mask (a fully
+    # masked query row is undefined garbage on both paths)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@interpret_only_on_cpu
+def test_flash_all_keys_valid_none_spec():
+    """kv_valid=None must equal an all-ones validity row."""
+    rng = np.random.default_rng(1)
+    q, k, v = _rand_qkv(rng, 2, 24, 24, 2, 16)
+    got = _get_flash(False, True)(q, k, v, jnp.zeros((2, 24), jnp.float32))
+    want = _reference_mha(q, k, v,
+                          AttnSpec(kv_valid=None, causal=False).additive(24, 24, 2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@interpret_only_on_cpu
+def test_flash_custom_vjp_matches_reference_grads():
+    """The backward recomputes the reference path — gradients must match
+    jax.grad of the reference formulation."""
+    rng = np.random.default_rng(2)
+    b, t, nh, hd = 1, 16, 2, 8
+    q, k, v = _rand_qkv(rng, b, t, t, nh, hd)
+    valid = jnp.ones((b, t), jnp.int32)
+    bias = _bias_from_valid(valid)
+    add = AttnSpec(kv_valid=valid, causal=True).additive(t, t, b)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(_get_flash(True, True)(q, k, v, bias) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference_mha(q, k, v, add) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_mha_dispatch_matches_reference():
+    """The AttnSpec dispatch (reference fallback on CPU, the REAL compiled
+    kernel under TDAX_TEST_TPU) must equal a materialized additive call."""
+    rng = np.random.default_rng(3)
+    q, k, v = _rand_qkv(rng, 2, 12, 12, 2, 8)
+    valid = jnp.asarray(np.array([[1] * 12, [1] * 9 + [0] * 3], np.int32))
+    spec = AttnSpec(kv_valid=valid, causal=True)
+    got = mha(q, k, v, spec)
+    want = _reference_mha(q, k, v, spec.additive(12, 12, 2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@interpret_only_on_cpu
+def test_fully_masked_rows_finite():
+    """Padding query rows (all keys masked) must produce finite output —
+    NaNs would poison the residual stream."""
+    rng = np.random.default_rng(4)
+    b, t, nh, hd = 1, 8, 1, 8
+    q, k, v = _rand_qkv(rng, b, t, t, nh, hd)
+    valid = jnp.zeros((b, t), jnp.int32)  # nothing valid at all
+    out = _get_flash(False, True)(q, k, v, _bias_from_valid(valid))
+    assert np.isfinite(np.asarray(out)).all()
