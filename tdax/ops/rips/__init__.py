@@ -12,6 +12,10 @@ Backends:
   - ``native`` — C++ engine (cpp/tdax_rips.cc) with clearing + emergent
     pair shortcuts, for large clouds.
   - ``auto``   — native when available, else python.
+  - ``device`` (batched, via tdax.ops.rips.tiny_device) — whole batches
+    of tiny clouds reduced on the TPU in one compiled program; the
+    pipeline's persistence_per_layer auto-selects it for the headline
+    32 x 36-point sweep.
 
 Persistence diagrams are unique invariants of the filtration, so any
 correct backend matches ripser to floating-point round-off — the

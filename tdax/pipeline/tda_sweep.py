@@ -60,13 +60,32 @@ def batched_silhouettes(clouds: np.ndarray, label_sets: dict[str, list[str]]) ->
 def persistence_per_layer(clouds_3d: np.ndarray, maxdim: int = 1,
                           backend: str = "auto",
                           max_workers: int | None = None) -> list[list[np.ndarray]]:
-    """VR diagrams for each layer cloud, thread-parallel over layers."""
-    n_layers = clouds_3d.shape[0]
+    """VR diagrams for each layer cloud.
+
+    Tiny clouds (the headline 32 x 36-point sweep) reduce ON the device,
+    batched over layers in one compiled program (ops.rips.tiny_device) —
+    host-core-count-independent, unlike the thread pool.  Larger clouds
+    or maxdim > 1 go to the native C++ engine, thread-parallel over
+    layers.  backend="device" forces the batched path, TDAX_NO_DEVICE_PH=1
+    forces it off."""
+    n_layers, n = clouds_3d.shape[0], clouds_3d.shape[1]
+    device_ok = (maxdim == 1 and n_layers >= 2 and 3 <= n <= 48
+                 and os.environ.get("TDAX_NO_DEVICE_PH") != "1")
+    if backend == "device" or (backend == "auto" and device_ok):
+        try:
+            from tdax.ops.rips.tiny_device import rips_tiny_batched
+            return rips_tiny_batched(clouds_3d, maxdim=maxdim)
+        except RuntimeError:
+            if backend == "device":
+                raise  # explicit request: surface non-convergence
+            pass  # auto: fall through to the host engine
+
     max_workers = max_workers or min(n_layers, os.cpu_count() or 8)
 
     def one(i: int):
         return rips(np.asarray(clouds_3d[i], dtype=np.float64),
-                    maxdim=maxdim, backend=backend)["dgms"]
+                    maxdim=maxdim, backend=backend if backend != "device"
+                    else "auto")["dgms"]
 
     with cf.ThreadPoolExecutor(max_workers=max_workers) as pool:
         return list(pool.map(one, range(n_layers)))
