@@ -427,6 +427,84 @@ class SparseRips {
     return false;
   }
 
+  // one collision step of the reduction: add the owner's column to the
+  // working heap after OUR copy of the shared pivot was popped (the two
+  // pivot copies cancel mod 2).  Shared verbatim by the sequential
+  // reducer, the parallel pre-reducer, and the commit pass.
+  void add_owner(Heap& heap, const DiamIdx& pivot, int64_t owner,
+                 const std::vector<DiamIdx>& owner_col_v,
+                 const std::vector<std::vector<DiamIdx>>& owner_rem_v,
+                 const std::vector<uint8_t>& owner_stored_v, int p) const {
+    if (owner_stored_v[owner]) {
+      // W_new = (W \ {pivot}) + (R_owner \ {pivot}): neither re-pushed
+      const std::vector<DiamIdx>& rem = owner_rem_v[owner];
+      if (rem.size() > 64) {
+        heap.buf.insert(heap.buf.end(), rem.begin(), rem.end());
+        heap.heapify();  // O(n) beats len(rem) heap pushes
+      } else {
+        for (const DiamIdx& e : rem) heap.push(e);
+      }
+    } else {
+      // claimed column: R_owner = raw coboundary of its simplex, which
+      // regenerates the pivot — re-push ours so they cancel
+      heap.push(pivot);
+      const DiamIdx oc = owner_col_v[owner];
+      enumerate_cofacets(oc.idx, oc.diam, p,
+                         [&](value_t diam, index_t cidx) {
+        heap.push({diam, cidx});
+        return true;
+      });
+    }
+  }
+
+  // pre-reduction against a FROZEN pivot map (no writes anywhere):
+  // follow collision chains through already-claimed pivots and stop at
+  // the first unclaimed one.  kind: 1 = stopped at (pivot, remainder),
+  // 2 = column vanished (essential).  Pure function of the frozen state
+  // — safe to run for a whole block of columns in parallel.
+  struct PreResult {
+    int8_t kind = 0;
+    DiamIdx pivot{};
+    std::vector<DiamIdx> rem;
+  };
+
+  void pre_reduce(const DiamIdx col, int p, const PivotMap& pivots,
+                  const std::vector<DiamIdx>& owner_col_v,
+                  const std::vector<std::vector<DiamIdx>>& owner_rem_v,
+                  const std::vector<uint8_t>& owner_stored_v,
+                  Heap& heap, PreResult* out) const {
+    heap.clear();
+    enumerate_cofacets(col.idx, col.diam, p, [&](value_t diam, index_t cidx) {
+      heap.append({diam, cidx});
+      return true;
+    });
+    heap.heapify();
+    size_t compact_limit = std::max<size_t>(4096, 2 * heap.buf.size());
+    while (true) {
+      DiamIdx pivot;
+      if (!pop_pivot(heap, pivot)) {
+        out->kind = 2;
+        return;
+      }
+      int64_t owner = pivots.find(pivot.idx);
+      if (owner < 0) {
+        compact_mod2(heap.buf);
+        out->kind = 1;
+        out->pivot = pivot;
+        out->rem = std::move(heap.buf);
+        heap.buf = std::vector<DiamIdx>();
+        return;
+      }
+      add_owner(heap, pivot, owner, owner_col_v, owner_rem_v,
+                owner_stored_v, p);
+      if (heap.buf.size() > compact_limit) {
+        compact_mod2(heap.buf);
+        heap.heapify();
+        compact_limit = std::max<size_t>(4096, 2 * heap.buf.size());
+      }
+    }
+  }
+
   void reduce_dimension(int p, std::vector<DiamIdx>& columns,
                         std::vector<Bar>& bars, PivotMap& pivots) {
     {
@@ -467,32 +545,14 @@ class SparseRips {
     owner_stored.reserve(columns.size());
     Heap heap;
 
-    for (size_t ci = 0; ci < columns.size(); ++ci) {
-      const DiamIdx col = columns[ci];
-      // apparent pairs skip even the map lookup; otherwise the cached
-      // candidate (the column's minimal raw entry) is emergent iff it
-      // is still unowned — no re-enumeration needed.
-      if (cand[ci] >= 0 && (apparent[ci] || pivots.find(cand[ci]) < 0)) {
-        apparent[ci] ? ++n_apparent : ++n_emergent;
-        owner_col.push_back(col);
-        owner_rem.emplace_back();
-        owner_stored.push_back(0);
-        pivots.insert(cand[ci], static_cast<int64_t>(owner_col.size() - 1));
-        continue;
-      }
-      ++n_full;
-
-      heap.clear();
-      enumerate_cofacets(col.idx, col.diam, p, [&](value_t diam, index_t cidx) {
-        heap.append({diam, cidx});
-        return true;
-      });
-      heap.heapify();
-      size_t compact_limit = std::max<size_t>(4096, 2 * heap.buf.size());
-
+    // settle one column whose working heap is populated: claim / bar /
+    // essential against the LIVE state.  Returns after the column is
+    // fully settled (the sequential path's inner loop).
+    auto finish_reduction = [&](const DiamIdx col, Heap& h,
+                                size_t compact_limit) {
       while (true) {
         DiamIdx pivot;
-        if (!pop_pivot(heap, pivot)) {
+        if (!pop_pivot(h, pivot)) {
           // essential class (legitimate under a finite threshold); owns
           // no pivot, so it never participates in later additions
           bars.push_back({static_cast<int32_t>(p), col.diam, -1.0f});
@@ -500,42 +560,148 @@ class SparseRips {
         }
         int64_t owner = pivots.find(pivot.idx);
         if (owner < 0) {
-          compact_mod2(heap.buf);  // store the true mod-2 support only
+          compact_mod2(h.buf);  // store the true mod-2 support only
           owner_col.push_back(col);
-          owner_rem.push_back(std::move(heap.buf));  // ≡ R(col) \ {pivot}
+          owner_rem.push_back(std::move(h.buf));  // ≡ R(col) \ {pivot}
           owner_stored.push_back(1);
-          heap.buf = std::vector<DiamIdx>();
+          h.buf = std::vector<DiamIdx>();
           pivots.insert(pivot.idx, static_cast<int64_t>(owner_col.size() - 1));
           if (pivot.diam > col.diam)
             bars.push_back({static_cast<int32_t>(p), col.diam, pivot.diam});
           break;
         }
-        if (owner_stored[owner]) {
-          // W_new = (W \ {pivot}) + (R_owner \ {pivot}): the two pivot
-          // copies cancel, so neither is re-pushed
-          const std::vector<DiamIdx>& rem = owner_rem[owner];
-          if (rem.size() > 64) {
-            heap.buf.insert(heap.buf.end(), rem.begin(), rem.end());
-            heap.heapify();  // O(n) beats len(rem) heap pushes
-          } else {
-            for (const DiamIdx& e : rem) heap.push(e);
+        add_owner(h, pivot, owner, owner_col, owner_rem, owner_stored, p);
+        if (h.buf.size() > compact_limit) {
+          compact_mod2(h.buf);
+          h.heapify();
+          compact_limit = std::max<size_t>(4096, 2 * h.buf.size());
+        }
+      }
+    };
+
+    auto claim_unreduced = [&](const DiamIdx col, index_t pivot_idx) {
+      owner_col.push_back(col);
+      owner_rem.emplace_back();
+      owner_stored.push_back(0);
+      pivots.insert(pivot_idx, static_cast<int64_t>(owner_col.size() - 1));
+    };
+
+    if (thread_count() > 1 && columns.size() >= 4096) {
+      // ---- blocked-parallel phase B ------------------------------------
+      // Process columns in blocks: a parallel pass pre-reduces every
+      // full-reduction column of the block against the pivot map FROZEN
+      // at the block boundary (pure reads), then a sequential commit
+      // pass claims pivots in exact filtration order — columns whose
+      // stopping pivot was claimed by an earlier in-block column resume
+      // inline from their pre-reduced remainder.  Commit order ==
+      // sequential order, so the pairing is identical to the
+      // single-threaded reduction (and the diagrams bit-equal).
+      const size_t kBlock = std::max<size_t>(
+          256, static_cast<size_t>(thread_count()) * 128);
+      std::vector<PreResult> pre(kBlock);
+      std::vector<int8_t> mode(kBlock);  // 0 claim-now, 1 deferred, 2 pre
+      for (size_t b0 = 0; b0 < columns.size(); b0 += kBlock) {
+        const size_t b1 = std::min(columns.size(), b0 + kBlock);
+        run_chunks(b1 - b0, 4, [&](size_t lo, size_t hi) {
+          Heap h;
+          for (size_t i = lo; i < hi; ++i) {
+            const size_t ci = b0 + i;
+            pre[i].rem.clear();
+            if (cand[ci] >= 0 &&
+                (apparent[ci] || pivots.find(cand[ci]) < 0)) {
+              // apparent claims are unconditional; emergent candidates
+              // are re-checked at commit (an earlier in-block column may
+              // have claimed the pivot meanwhile)
+              mode[i] = apparent[ci] ? 0 : 1;
+              continue;
+            }
+            mode[i] = 2;
+            pre_reduce(columns[ci], p, pivots, owner_col, owner_rem,
+                       owner_stored, h, &pre[i]);
           }
-        } else {
-          // claimed column: R_owner = raw coboundary of its simplex,
-          // which regenerates the pivot — re-push ours so they cancel
-          heap.push(pivot);
-          const DiamIdx oc = owner_col[owner];
-          enumerate_cofacets(oc.idx, oc.diam, p,
-                             [&](value_t diam, index_t cidx) {
-            heap.push({diam, cidx});
-            return true;
-          });
-        }
-        if (heap.buf.size() > compact_limit) {
-          compact_mod2(heap.buf);
+        });
+        for (size_t i = 0; i < b1 - b0; ++i) {
+          const size_t ci = b0 + i;
+          const DiamIdx col = columns[ci];
+          if (mode[i] == 0) {  // apparent
+            ++n_apparent;
+            claim_unreduced(col, cand[ci]);
+            continue;
+          }
+          if (mode[i] == 1) {  // deferred emergent: re-check live map
+            if (pivots.find(cand[ci]) < 0) {
+              ++n_emergent;
+              claim_unreduced(col, cand[ci]);
+              continue;
+            }
+            // lost the candidate to an earlier in-block column: run the
+            // full reduction inline (rare)
+            ++n_full;
+            heap.clear();
+            enumerate_cofacets(col.idx, col.diam, p,
+                               [&](value_t diam, index_t cidx) {
+              heap.append({diam, cidx});
+              return true;
+            });
+            heap.heapify();
+            finish_reduction(col, heap,
+                             std::max<size_t>(4096, 2 * heap.buf.size()));
+            continue;
+          }
+          ++n_full;
+          if (pre[i].kind == 2) {
+            // vanished against the frozen map; additions only ever pull
+            // in already-claimed owners, so this is final
+            bars.push_back({static_cast<int32_t>(p), col.diam, -1.0f});
+            continue;
+          }
+          const DiamIdx pivot = pre[i].pivot;
+          int64_t owner = pivots.find(pivot.idx);
+          if (owner < 0) {
+            owner_col.push_back(col);
+            owner_rem.push_back(std::move(pre[i].rem));  // ≡ R(col)\{pivot}
+            owner_stored.push_back(1);
+            pre[i].rem = std::vector<DiamIdx>();
+            pivots.insert(pivot.idx,
+                          static_cast<int64_t>(owner_col.size() - 1));
+            if (pivot.diam > col.diam)
+              bars.push_back({static_cast<int32_t>(p), col.diam, pivot.diam});
+            continue;
+          }
+          // stopping pivot got claimed within the block: resume from the
+          // pre-reduced remainder
+          heap.buf = std::move(pre[i].rem);
+          pre[i].rem = std::vector<DiamIdx>();
           heap.heapify();
-          compact_limit = std::max<size_t>(4096, 2 * heap.buf.size());
+          add_owner(heap, pivot, owner, owner_col, owner_rem, owner_stored,
+                    p);
+          finish_reduction(col, heap,
+                           std::max<size_t>(4096, 2 * heap.buf.size()));
         }
+      }
+    } else {
+      // ---- sequential phase B ------------------------------------------
+      for (size_t ci = 0; ci < columns.size(); ++ci) {
+        const DiamIdx col = columns[ci];
+        // apparent pairs skip even the map lookup; otherwise the cached
+        // candidate (the column's minimal raw entry) is emergent iff it
+        // is still unowned — no re-enumeration needed.
+        if (cand[ci] >= 0 && (apparent[ci] || pivots.find(cand[ci]) < 0)) {
+          apparent[ci] ? ++n_apparent : ++n_emergent;
+          claim_unreduced(col, cand[ci]);
+          continue;
+        }
+        ++n_full;
+
+        heap.clear();
+        enumerate_cofacets(col.idx, col.diam, p,
+                           [&](value_t diam, index_t cidx) {
+          heap.append({diam, cidx});
+          return true;
+        });
+        heap.heapify();
+        finish_reduction(col, heap,
+                         std::max<size_t>(4096, 2 * heap.buf.size()));
       }
     }
     if (prof_enabled())

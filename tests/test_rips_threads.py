@@ -30,6 +30,13 @@ print(json.dumps([d.tolist() for d in out["dgms"]]))
 from tdax.pipeline.scale import rips_at_scale_sparse
 out = rips_at_scale_sparse(x.astype(np.float32), maxdim=2, target_degree=20)
 print(json.dumps([d.tolist() for d in out["dgms"]]))
+
+# large enough (>= 4096 dim-1 columns) to engage the blocked-parallel
+# phase B commit protocol, not just parallel phase A
+x2 = rng.normal(size=(400, 6)).astype(np.float32)
+out = rips_at_scale_sparse(x2, maxdim=1, target_degree=24,
+                           degree_headroom=16.0)
+print(json.dumps([d.tolist() for d in out["dgms"]]))
 """
 
 
@@ -43,19 +50,15 @@ def _run_engines(threads: str) -> tuple[list, list]:
                           cwd=os.path.dirname(os.path.dirname(__file__)))
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("[")]
-    dense, sparse = (json.loads(l) for l in lines[-2:])
-    return dense, sparse
+    return [json.loads(l) for l in lines[-3:]]
 
 
 @pytest.mark.skipif(not available(), reason="native engine unavailable")
 def test_threaded_engines_match_single_threaded(tmp_path):
-    dense_mt, sparse_mt = _run_engines("4")
-    dense_st, sparse_st = _run_engines("1")
-    for got, want in zip(dense_mt, dense_st):
-        np.testing.assert_allclose(np.asarray(got).reshape(-1, 2),
-                                   np.asarray(want).reshape(-1, 2),
-                                   rtol=0, atol=0)
-    for got, want in zip(sparse_mt, sparse_st):
-        np.testing.assert_allclose(np.asarray(got).reshape(-1, 2),
-                                   np.asarray(want).reshape(-1, 2),
-                                   rtol=0, atol=0)
+    mt = _run_engines("4")
+    st = _run_engines("1")
+    for case_mt, case_st in zip(mt, st):
+        for got, want in zip(case_mt, case_st):
+            np.testing.assert_allclose(np.asarray(got).reshape(-1, 2),
+                                       np.asarray(want).reshape(-1, 2),
+                                       rtol=0, atol=0)
