@@ -259,7 +259,17 @@ def optimize_layout_edges(init: jnp.ndarray,
     gradient -2ab d^(2b-2)/(1+a d^2b) with recoil on tails, negative
     sampling with the zero-distance +4 kick and the draw==tail skip,
     per-dimension clip to [-4, 4], mean-force stabilizer, alpha linear
-    to 0.  O(E * neg * d) per epoch via segment sums."""
+    to 0.  O(E * neg * d) per epoch via segment sums.
+
+    REQUIRES a symmetric edge list (both directions of every edge with
+    equal weight — what build_sym_edges emits): the tail recoil of edge
+    (i, j) is exactly minus the attraction of its mirror (j, i) (the
+    squared distance, schedule, and activity are direction-invariant),
+    so sum-over-tails == -sum-over-heads and the whole recoil reduces to
+    doubling the head segment sum — eliminating the one UNSORTED
+    scatter-add in the epoch (head-indexed sums ride the sorted fast
+    path; a duplicate-heavy unsorted scatter is the worst-lowering op
+    on TPU)."""
     E = head.shape[0]
     max_neg = negative_sample_rate + 3  # NEG_SLACK, as in layout.py
     a32, b32, g32 = jnp.float32(a), jnp.float32(b), jnp.float32(gamma)
@@ -287,13 +297,13 @@ def optimize_layout_edges(init: jnp.ndarray,
                               0.0)
         att = jnp.clip(att_coeff[:, None] * diff, -4.0, 4.0)
         att = jnp.where(active[:, None], att, 0.0)
-        force = jax.ops.segment_sum(att, head, num_segments=n,
-                                    indices_are_sorted=True) \
-            - jax.ops.segment_sum(att, tail, num_segments=n)
-        cnt = jax.ops.segment_sum(active.astype(jnp.float32), head,
-                                  num_segments=n, indices_are_sorted=True) \
-            + jax.ops.segment_sum(active.astype(jnp.float32), tail,
-                                  num_segments=n)
+        # symmetric edge list: tail recoil == -(mirror edge's attraction),
+        # so -segment_sum(att, tail) == +segment_sum(att, head) exactly
+        force = 2.0 * jax.ops.segment_sum(att, head, num_segments=n,
+                                          indices_are_sorted=True)
+        cnt = 2.0 * jax.ops.segment_sum(active.astype(jnp.float32), head,
+                                        num_segments=n,
+                                        indices_are_sorted=True)
 
         # --- repulsive (negative samples; only heads move) ---
         n_neg = jnp.where(active,
