@@ -8,10 +8,18 @@ dataset's 36-point clouds — the reference pipeline's hot path
 target.  Warm timing (compile excluded; the persistent cache makes
 real reruns warm too).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Also times the same sweep on REAL activations — a toy-model extraction
+trajectory over the actual 48-image dataset (regenerated on the fly if
+absent; TDAX_BENCH_SKIP_REAL=1 skips) — so the scored path is also
+exercised on real activation statistics (scale/anisotropy), not only
+planted gaussians.  That row prints FIRST; the headline synthetic row
+is the LAST line (the driver parses the last JSON line).
+
+Prints one JSON line per row: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -48,10 +56,61 @@ def run_sweep(clouds, shape_labels, color_labels):
     return clouds_3d, sil, dgms
 
 
+def real_activation_clouds() -> tuple[np.ndarray, list[str], list[str]] | None:
+    """The toy-extraction trajectory over the real 48-image dataset:
+    [n_layers, 36, hidden] bound-sample clouds + labels.  Regenerates
+    the dataset/extraction if the artifacts are missing."""
+    meta_path = "data/physics_experiment_6x6/metadata.json"
+    acts_path = os.environ.get("TDAX_BENCH_ACTS",
+                               "data/physics_experiment_6x6/all_activations.npz")
+    from tdax.config import DatasetConfig, ExtractConfig
+    from tdax.data import generate_dataset
+    from tdax.data.io import load_activations, load_metadata
+
+    if not os.path.exists(meta_path):
+        generate_dataset(DatasetConfig())
+    if not os.path.exists(acts_path):
+        from tdax.models.qwen_vl import QwenVLConfig
+        from tdax.pipeline.extract import extract_activations
+        extract_activations(
+            load_metadata(meta_path),
+            acts_path.replace(".npz", ".pt"),
+            QwenVLConfig.tiny(dtype="float32"),
+            ExtractConfig(model_dir=None, batch_size=16, save_interval=1000),
+            verbose=False)
+
+    data = load_activations(acts_path)
+    meta = {m["id"]: m for m in load_metadata(meta_path)}
+    bound = [sid for sid in sorted(data) if meta[sid]["type"] == "bound"]
+    n_layers = len(data[bound[0]]["activations"])
+    clouds = np.stack([
+        np.stack([data[sid]["activations"][f"layer_{i}"] for sid in bound])
+        for i in range(n_layers)]).astype(np.float64)
+    return (clouds, [meta[s]["shape"] for s in bound],
+            [meta[s]["color"] for s in bound])
+
+
 def main() -> None:
     from tdax.utils import setup_runtime
 
     setup_runtime(want_device=True)
+
+    # --- realistic-statistics row (real images -> real activations) ------
+    if os.environ.get("TDAX_BENCH_SKIP_REAL") != "1":
+        real = real_activation_clouds()
+        rc, rs, rcol = real
+        run_sweep(rc, rs, rcol)  # warm-up / compile
+        t0 = time.time()
+        run_sweep(rc, rs, rcol)
+        real_elapsed = time.time() - t0
+        l, _, h = rc.shape
+        print(json.dumps({
+            "metric": f"umap_ph_sweep_real_toytraj_{l}layers_36x{h}",
+            "value": round(real_elapsed, 3), "unit": "s",
+            "per_layer_ms": round(real_elapsed / l * 1000, 1),
+            "vs_baseline": None}))
+
+    # --- headline row (the BASELINE.json-shaped synthetic workload) ------
     clouds, shape_labels, color_labels = make_clouds()
 
     run_sweep(clouds, shape_labels, color_labels)  # warm-up / compile
