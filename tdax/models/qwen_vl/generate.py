@@ -77,19 +77,21 @@ def _decode_step(params, cfg: QwenVLConfig, tok, cur_pos, ks, vs):
     # per-sample writes land exactly at lengths+j, so plain causal works
     valid = key_pos <= cur_pos[:, None]
     add_mask = jnp.where(valid, 0.0, -1e30)[:, None, None, :]  # [B,1,1,T]
-    # one-hot scatter: write each sample's K/V at its own position
-    write = jax.nn.one_hot(cur_pos, t_max, dtype=jnp.float32)   # [B, T]
-    write4 = write[:, :, None, None]
+    batch_idx = jnp.arange(tok.shape[0])
 
     def step(carry, inputs):
         h = carry
         layer, k_cache, v_cache = inputs
         hh = rms_norm(h, layer["ln_1"], cfg.layer_norm_eps)
         q, k, v = project_qkv(hh, layer, cfg, cos, sin)
-        k_cache = (k_cache * (1.0 - write4)
-                   + k.astype(k_cache.dtype) * write4).astype(k_cache.dtype)
-        v_cache = (v_cache * (1.0 - write4)
-                   + v.astype(v_cache.dtype) * write4).astype(v_cache.dtype)
+        # row scatter at each sample's own position: touches B rows of
+        # the cache instead of blending the whole [B, T, nh, hd] tensor
+        # (a one-hot blend rewrites the ENTIRE cache per layer per token
+        # — ~GBs of HBM traffic each decode step at the full config)
+        k_cache = k_cache.at[batch_idx, cur_pos].set(
+            k[:, 0].astype(k_cache.dtype))
+        v_cache = v_cache.at[batch_idx, cur_pos].set(
+            v[:, 0].astype(v_cache.dtype))
         h = h + attend(q, k_cache, v_cache, add_mask, layer, cfg)
         h = h + mlp(rms_norm(h, layer["ln_2"], cfg.layer_norm_eps), layer)
         return h, (k_cache, v_cache)
