@@ -33,10 +33,40 @@ def is_quantized(node) -> bool:
     return isinstance(node, dict) and set(node) == {"q", "s"}
 
 
+_W8A8 = [False]
+
+
+def set_w8a8(enabled: bool) -> None:
+    """Opt-in W8A8 serving mode: quantized matmuls additionally quantize
+    the ACTIVATIONS per token (dynamic abs-max scales) and run the
+    contraction as int8 x int8 -> int32 on the MXU — 788 TOPS/s on v5e
+    vs 394 TFLOP/s bf16.  Weight-only (the default) keeps activations
+    exact; W8A8 introduces ~1e-2-relative activation rounding, which is
+    the standard serving trade (per-token x per-channel scales).  Takes
+    effect at trace time — set BEFORE jitting the model step."""
+    _W8A8[0] = bool(enabled)
+
+
+def w8a8_enabled() -> bool:
+    import os
+    return _W8A8[0] or os.environ.get("TDAX_W8A8") == "1"
+
+
 def qdot(x: jnp.ndarray, w) -> jnp.ndarray:
     """Matmul accepting fp weights or {"q","s"} int8 weights; dequant is
-    fused into the matmul by XLA (weights stay int8 in HBM)."""
+    fused into the matmul by XLA (weights stay int8 in HBM).  Under
+    set_w8a8(True) the activation side is quantized too and the MXU runs
+    the native int8 path."""
     if is_quantized(w):
+        if w8a8_enabled():
+            xf = x.astype(jnp.float32)
+            s_x = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+            s_x = jnp.maximum(s_x, 1e-12)
+            xq = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                xq, w["q"], (((xq.ndim - 1,), (w["q"].ndim - 2,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return (acc.astype(jnp.float32) * s_x * w["s"]).astype(x.dtype)
         out = jnp.dot(x, w["q"].astype(x.dtype),
                       preferred_element_type=jnp.float32)
         return (out * w["s"]).astype(x.dtype)

@@ -94,3 +94,48 @@ def test_init_params_quantized_structure():
     ids = jnp.asarray(rng.integers(1, CFG.vocab_size, (1, 8)).astype(np.int32))
     out = forward(q, CFG, ids)
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_w8a8_qdot_close_to_weight_only():
+    """The opt-in W8A8 path (int8 x int8 MXU contraction, per-token
+    activation scales) must stay within activation-rounding tolerance of
+    the weight-only path, and the flag must restore cleanly."""
+    from tdax.models.qwen_vl.quantize import (qdot, quantize_weight,
+                                              set_w8a8, w8a8_enabled)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 64)).astype(np.float32))
+    w = quantize_weight(jnp.asarray(rng.normal(size=(64, 96)).astype(np.float32)))
+    base = np.asarray(qdot(x, w))
+    try:
+        set_w8a8(True)
+        assert w8a8_enabled()
+        got = np.asarray(qdot(x, w))
+    finally:
+        set_w8a8(False)
+    assert not w8a8_enabled()
+    # activation rounding is ~1/254 relative per element; the contraction
+    # averages it down — row-scale tolerance
+    scale = np.abs(base).max()
+    np.testing.assert_allclose(got, base, atol=2e-2 * scale)
+
+
+def test_w8a8_forward_fidelity():
+    """Whole-model W8A8 forward stays close to the weight-only int8
+    forward on the toy config (serving-mode sanity, not bit parity)."""
+    from tdax.models.qwen_vl.quantize import quantize_params, set_w8a8
+    rng = np.random.default_rng(1)
+    params = init_params(jax.random.PRNGKey(0), CFG, with_visual=False)
+    qparams = quantize_params(params)
+    ids = jnp.asarray(rng.integers(1, CFG.vocab_size, (2, 12)).astype(np.int32))
+    base = np.asarray(forward(qparams, CFG, ids))
+    try:
+        set_w8a8(True)
+        got = np.asarray(forward(qparams, CFG, ids))
+    finally:
+        set_w8a8(False)
+    # compare softmax-relevant structure: top-1 agreement on most
+    # positions + bounded logit drift
+    drift = np.abs(got - base).max() / max(np.abs(base).max(), 1e-6)
+    assert drift < 0.15, drift
+    agree = (got.argmax(-1) == base.argmax(-1)).mean()
+    assert agree > 0.9, agree
