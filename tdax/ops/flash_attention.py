@@ -25,6 +25,13 @@ kernels trade this memory back for another fused pass; capture/serving
 Off-TPU (tests, CPU mesh dryrun) the dispatcher falls back to the
 reference einsum path; the kernel itself stays testable anywhere via
 Pallas interpret mode.
+
+Multi-chip note: under jit+GSPMD the partitioner treats a pallas_call
+as opaque — for sharded multi-chip runs wrap the model step in
+shard_map (batch/head dims are fully parallel here, no cross-device
+reduction inside attention), or run with TDAX_NO_FLASH=1; the
+single-chip capture/serving paths (where the MFU target lives) hit the
+kernel directly.
 """
 
 from __future__ import annotations
@@ -142,28 +149,91 @@ def _flash_impl(q, k, v, bias, causal: bool, interpret: bool) -> jnp.ndarray:
     hd_pad = _round_up(hd, 128)
     tq_pad = _round_up(tq, 128)
     tk_pad = _round_up(tk, 128)
-    blk_q = min(128, tq_pad)
-    blk_k = next(s for s in (512, 384, 256, 128) if tk_pad % s == 0)
+    # Bigger blocks amortize per-program grid overhead (measured: the
+    # ~0.5-1us/program cost dominated a 4096-program ViT grid at 128x512
+    # blocks); cap the f32 score tile s/p at ~4 MB of VMEM.
+    blk_q = next(s for s in (512, 384, 256, 128) if tq_pad % s == 0)
+    blk_k = next(s for s in (1024, 768, 512, 384, 256, 128)
+                 if tk_pad % s == 0)
+    while blk_q * blk_k * 4 > 4 * 1024 * 1024:
+        if blk_k >= blk_q and blk_k > 128:
+            blk_k //= 2
+            while tk_pad % blk_k:
+                blk_k //= 2
+        else:
+            blk_q //= 2
+            while tq_pad % blk_q:
+                blk_q //= 2
     # true f32 MXU passes when the model itself runs f32 (parity tests);
     # bf16 params keep the native bf16-multiply/f32-accumulate path
     precision = (jax.lax.Precision.HIGHEST
                  if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+
+    # [B, 1, tk_pad]: the singleton middle dim keeps the block's
+    # second-to-last dimension equal to the array's (TPU tiling rule)
+    bias_p = jnp.pad(bias.astype(jnp.float32), ((0, 0), (0, tk_pad - tk)),
+                     constant_values=NEG_INF)[:, None, :]
+    kernel = functools.partial(
+        _kernel, causal=causal, blk_q=blk_q, blk_k=blk_k,
+        scale=1.0 / np.sqrt(hd), precision=precision, out_dtype=q.dtype)
+    scratch = [
+        pltpu.VMEM((blk_q, hd_pad), jnp.float32),   # acc
+        pltpu.VMEM((blk_q, 128), jnp.float32),      # running max
+        pltpu.VMEM((blk_q, 128), jnp.float32),      # running denom
+    ]
+    cost = pl.CostEstimate(
+        flops=4 * b * nh * tq_pad * tk_pad * hd_pad,
+        bytes_accessed=(b * nh * (tq_pad + 2 * tk_pad) * hd_pad
+                        + b * nh * tq_pad * hd_pad) * q.dtype.itemsize,
+        transcendentals=b * nh * tq_pad * tk_pad)
+
+    if hd % 128 == 0:
+        # zero-transpose layout: keep [B, T, nh*hd] (the native qkv
+        # projection layout) and slice head h's 128-lane band via the
+        # block index map — no [B,nh,T,hd] transposes, no hd padding
+        # (the trace showed ~50 ms/step of pure transpose/pad copies)
+        def prep(x, t_pad):
+            x = x.reshape(b, x.shape[1], nh * hd)
+            return jnp.pad(x, ((0, 0), (0, t_pad - x.shape[1]), (0, 0)))
+
+        qt, kt, vt = prep(q, tq_pad), prep(k, tk_pad), prep(v, tk_pad)
+        grid = (b, nh, tq_pad // blk_q, tk_pad // blk_k)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, blk_k),
+                             lambda g, h, i, j: (g, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk_q, hd),
+                             lambda g, h, i, j: (g, i, h),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk_k, hd),
+                             lambda g, h, i, j: (g, j, h),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk_k, hd),
+                             lambda g, h, i, j: (g, j, h),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, blk_q, hd),
+                                   lambda g, h, i, j: (g, i, h),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, tq_pad, nh * hd), q.dtype),
+            scratch_shapes=scratch,
+            cost_estimate=cost,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel",
+                                     "arbitrary")),
+            interpret=interpret,
+        )(bias_p, qt, kt, vt)
+        return out[:, :tq, :].reshape(b, tq, nh, hd)
 
     def prep(x, t_pad):
         x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * nh, x.shape[1], hd)
         return jnp.pad(x, ((0, 0), (0, t_pad - x.shape[1]), (0, hd_pad - hd)))
 
     qt, kt, vt = prep(q, tq_pad), prep(k, tk_pad), prep(v, tk_pad)
-    # [B, 1, tk_pad]: the singleton middle dim keeps the block's
-    # second-to-last dimension equal to the array's (TPU tiling rule)
-    bias_p = jnp.pad(bias.astype(jnp.float32), ((0, 0), (0, tk_pad - tk)),
-                     constant_values=NEG_INF)[:, None, :]
-
     grid = (b * nh, tq_pad // blk_q, tk_pad // blk_k)
-    kernel = functools.partial(
-        _kernel, causal=causal, blk_q=blk_q, blk_k=blk_k,
-        scale=1.0 / np.sqrt(hd), precision=precision, out_dtype=q.dtype)
-
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -180,24 +250,17 @@ def _flash_impl(q, k, v, bias, causal: bool, interpret: bool) -> jnp.ndarray:
         out_specs=pl.BlockSpec((1, blk_q, hd_pad), lambda g, i, j: (g, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * nh, tq_pad, hd_pad), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((blk_q, hd_pad), jnp.float32),   # acc
-            pltpu.VMEM((blk_q, 128), jnp.float32),      # running max
-            pltpu.VMEM((blk_q, 128), jnp.float32),      # running denom
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * nh * tq_pad * tk_pad * hd_pad,
-            bytes_accessed=(qt.size + 2 * kt.size) * qt.dtype.itemsize
-            + out_size_bytes(b, nh, tq_pad, hd_pad, q.dtype),
-            transcendentals=b * nh * tq_pad * tk_pad),
+        scratch_shapes=scratch,
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            # batch*head and q-block grid dims carry no cross-iteration
+            # state; only the kv dim is sequential (online-softmax
+            # scratch) — lets Mosaic pipeline/parallelize the grid
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(bias_p, qt, kt, vt)
     out = out.reshape(b, nh, tq_pad, hd_pad)[:, :, :tq, :hd]
     return jnp.transpose(out, (0, 2, 1, 3))
-
-
-def out_size_bytes(b, nh, tq, hd, dtype) -> int:
-    return b * nh * tq * hd * jnp.dtype(dtype).itemsize
 
 
 def _reference_mha(q, k, v, additive, precision=None) -> jnp.ndarray:

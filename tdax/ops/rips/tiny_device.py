@@ -106,13 +106,60 @@ def _tiny_h1_pairs(clouds: jnp.ndarray, n: int):
     pow2 = jnp.asarray(2 ** np.arange(1, _BITS), np.int32)
     w_iota = jnp.arange(w_cnt)[None, None, :]
     col_iota = jnp.broadcast_to(jnp.arange(t_cnt)[None, :], (l_cnt, t_cnt))
+    big_key = jnp.int32(np.int32(2 ** 30))
+    batch_base = jnp.arange(l_cnt)[:, None] * t_cnt     # [L,1]
+
+    # ALL gathers below are flattened axis-0 takes: measured on chip,
+    # take_along_axis over a middle axis lowered ~13 ns/element inside
+    # the sweep loop (135 ms/sweep) while the same gather as a flat
+    # row-take runs at memory speed (10 ms/sweep total).
+    def take_rows(m, h):
+        """m [L,T,W], h [L,T] column ids -> m[l, h[l,t], :]."""
+        idx = (batch_base + h).reshape(-1)
+        return jnp.take(m.reshape(l_cnt * t_cnt, w_cnt), idx,
+                        axis=0).reshape(l_cnt, t_cnt, w_cnt)
+
+    def take_cols(a, h):
+        """a [L,T], h [L,T] -> a[l, h[l,t]]."""
+        idx = (batch_base + h).reshape(-1)
+        return jnp.take(a.reshape(-1), idx, axis=0).reshape(l_cnt, t_cnt)
 
     def low_of(m):
         wmax = jnp.max(jnp.where(m > 0, w_iota, -1), axis=-1)         # [L,T]
-        vw = jnp.take_along_axis(m, jnp.maximum(wmax, 0)[..., None],
-                                 axis=-1)[..., 0]
+        flat_idx = ((batch_base + col_iota) * w_cnt
+                    + jnp.maximum(wmax, 0)).reshape(-1)
+        vw = jnp.take(m.reshape(-1), flat_idx, axis=0).reshape(l_cnt, t_cnt)
         hsb = jnp.sum((vw[..., None] >= pow2).astype(jnp.int32), axis=-1)
         return jnp.where(wmax >= 0, wmax * _BITS + hsb, -1)
+
+    def seg_first(vals, starts):
+        # segmented "copy the run's first value forward" scan, axis 1
+        def comb(a, b):
+            av, af = a
+            bv, bf = b
+            return jnp.where(bf, bv, av), af | bf
+
+        v, _ = jax.lax.associative_scan(comb, (vals, starts), axis=1)
+        return v
+
+    def holders_of(low):
+        """For each column, the earliest column sharing its low.
+
+        Scatter-free: a duplicate-index scatter-min serializes on TPU;
+        instead sort columns by (low, col) — stable, so each low-run is
+        col-ascending and its FIRST element is the holder — propagate it
+        with a segmented scan and map back via the inverse permutation."""
+        has = low >= 0
+        key = jnp.where(has, low * t_cnt + col_iota, big_key)
+        order = jnp.argsort(key, axis=1)                # [L,T] perm
+        low_s = take_cols(low, order)
+        starts = jnp.concatenate(
+            [jnp.ones((l_cnt, 1), bool),
+             low_s[:, 1:] != low_s[:, :-1]], axis=1)
+        h_s = seg_first(order, starts)                  # sorted cols = order
+        inv = jnp.argsort(order, axis=1)
+        h = take_cols(h_s, inv)                         # original order
+        return has, h
 
     def cond(state):
         _, conflict, it = state
@@ -121,35 +168,24 @@ def _tiny_h1_pairs(clouds: jnp.ndarray, n: int):
     def sweep(state):
         m, _, it = state
         low = low_of(m)                                               # [L,T]
-        has = low >= 0
-        safe_low = jnp.where(has, low, 0)
-        holder = jnp.full((l_cnt, e_cnt), t_cnt, jnp.int32).at[
-            jnp.arange(l_cnt)[:, None], safe_low].min(
-            jnp.where(has, col_iota, t_cnt))
-        h = jnp.take_along_axis(holder, safe_low, axis=-1)            # [L,T]
+        has, h = holders_of(low)
         conflict = has & (h < col_iota)
-        gather_h = jnp.broadcast_to(jnp.where(conflict, h, 0)[..., None],
-                                    m.shape)
-        mh = jnp.take_along_axis(m, gather_h, axis=1)
+        mh = take_rows(m, jnp.where(conflict, h, 0))
         m = jnp.where(conflict[..., None], jnp.bitwise_xor(m, mh), m)
         return m, jnp.any(conflict), it + 1
 
-    mat, _, sweeps = jax.lax.while_loop(
+    mat, conflict_final, sweeps = jax.lax.while_loop(
         cond, sweep, (mat, jnp.bool_(True), jnp.int32(0)))
+    # the loop exits either because the last sweep found no conflict
+    # (converged: all lows distinct) or because it hit _MAX_SWEEPS
+    converged = jnp.logical_not(conflict_final)
 
     low = low_of(mat)
     has = low >= 0
-    converged = jnp.logical_not(jnp.any(
-        has & (jnp.take_along_axis(
-            jnp.full((l_cnt, e_cnt), t_cnt, jnp.int32).at[
-                jnp.arange(l_cnt)[:, None],
-                jnp.where(has, low, 0)].min(
-                jnp.where(has, col_iota, t_cnt)),
-            jnp.where(has, low, 0), axis=-1) < col_iota)))
-
+    # at convergence the claimed lows are DISTINCT -> unique-index scatter
     deaths = jnp.full((l_cnt, e_cnt), -jnp.inf).at[
         jnp.arange(l_cnt)[:, None], jnp.where(has, low, 0)].max(
-        jnp.where(has, td_sorted, -jnp.inf))
+        jnp.where(has, td_sorted, -jnp.inf), unique_indices=False)
     return ed_sorted, deaths, mst, converged, sweeps
 
 

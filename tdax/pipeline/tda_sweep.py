@@ -62,16 +62,20 @@ def persistence_per_layer(clouds_3d: np.ndarray, maxdim: int = 1,
                           max_workers: int | None = None) -> list[list[np.ndarray]]:
     """VR diagrams for each layer cloud.
 
-    Tiny clouds (the headline 32 x 36-point sweep) reduce ON the device,
-    batched over layers in one compiled program (ops.rips.tiny_device) —
-    host-core-count-independent, unlike the thread pool.  Larger clouds
-    or maxdim > 1 go to the native C++ engine, thread-parallel over
-    layers.  backend="device" forces the batched path, TDAX_NO_DEVICE_PH=1
-    forces it off."""
+    Backend order for tiny-cloud batches (the headline 32 x 36-pt
+    sweep): the native C++ engine when built (~0.6 ms/cloud at n=36 —
+    the apparent/emergent shortcuts make these trivial, measured faster
+    than any batched device program), else the batched on-device
+    reduction (ops.rips.tiny_device — one compiled program for the
+    whole batch; the TPU-native path for compiler-free environments),
+    else the python oracle.  backend="device" forces the batched device
+    path; TDAX_NO_DEVICE_PH=1 forbids it."""
     n_layers, n = clouds_3d.shape[0], clouds_3d.shape[1]
+    from tdax.ops.rips.native import available as _native_available
     device_ok = (maxdim == 1 and n_layers >= 2 and 3 <= n <= 48
                  and os.environ.get("TDAX_NO_DEVICE_PH") != "1")
-    if backend == "device" or (backend == "auto" and device_ok):
+    if backend == "device" or (backend == "auto" and device_ok
+                               and not _native_available()):
         try:
             from tdax.ops.rips.tiny_device import rips_tiny_batched
             return rips_tiny_batched(clouds_3d, maxdim=maxdim)

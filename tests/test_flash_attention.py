@@ -40,6 +40,7 @@ def _bias_from_valid(valid):
     (8, 40, 2, 20, False),     # cross-attention, hd not 128-aligned
     (130, 130, 1, 128, True),  # spills into a second q block
     (16, 260, 1, 32, False),   # multiple k blocks (tk_pad 384 -> blk 384)
+    (64, 192, 2, 128, False),  # zero-transpose layout (hd % 128 == 0), cross
 ])
 def test_flash_matches_reference(tq, tk, nh, hd, causal):
     rng = np.random.default_rng(0)
