@@ -151,6 +151,10 @@ def optimize_layout(head_embedding: jnp.ndarray,
     eons0 = jnp.where(edge_mask, eps_mat, jnp.inf)
     eonns0 = jnp.where(edge_mask, epns_mat, jnp.inf)
     state0 = (head_embedding.astype(jnp.float32), eons0, eonns0)
+    # unroll: at headline scale (32 x 36-pt clouds) every epoch's tensors
+    # are tiny, so the 500-step scan is per-op-overhead-bound on TPU;
+    # unrolling lets XLA fuse across epochs (identical math)
     (emb, _, _), _ = jax.lax.scan(epoch_step, state0,
-                                  jnp.arange(n_epochs, dtype=jnp.int32))
+                                  jnp.arange(n_epochs, dtype=jnp.int32),
+                                  unroll=4)
     return emb
