@@ -7,8 +7,16 @@ pipeline — dataset -> deterministic toy extraction -> main sweep, plus
 the adversarial sweep on a subsampled pair set — under fixed seeds and
 diff against goldens committed in tests/goldens/.
 
-Regenerate (after an INTENTIONAL numerics change, on CPU):
-    TDAX_REGEN_GOLDENS=1 python -m pytest tests/test_golden_regression.py -q
+TPU f32 matmul rounding shifts the UMAP SGD trajectory, so the goldens
+are pinned PER TRAJECTORY: tests/goldens/*.json gates the CPU CI path,
+tests/goldens/*_tpu.json gates the on-hardware pass (TDAX_TEST_TPU=1) —
+the full-pipeline drift gate runs on the hardware the framework targets,
+not only on CPU.
+
+Regenerate (after an INTENTIONAL numerics change, on the SAME
+trajectory you are re-pinning):
+    TDAX_REGEN_GOLDENS=1 [TDAX_TEST_TPU=1] \
+        python -m pytest tests/test_golden_regression.py -q
 then commit the updated tests/goldens/*.json with the reason.
 """
 
@@ -26,15 +34,8 @@ from tdax.pipeline.extract import extract_activations
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 REGEN = os.environ.get("TDAX_REGEN_GOLDENS") == "1"
+SUFFIX = "_tpu" if os.environ.get("TDAX_TEST_TPU") == "1" else ""
 CFG = QwenVLConfig.tiny(dtype="float32")
-
-# the pinned values are CPU-trajectory goldens: TPU f32 matmul rounding
-# shifts the UMAP SGD path, so exact stats legitimately differ there.
-# TPU-vs-CPU geometry parity is covered by dryrun_multichip stage 2 and
-# the structure tests; these goldens gate drift on the CPU CI path.
-pytestmark = pytest.mark.skipif(
-    os.environ.get("TDAX_TEST_TPU") == "1",
-    reason="goldens are pinned on the CPU trajectory")
 
 
 @pytest.fixture(scope="module")
@@ -108,7 +109,8 @@ def test_main_sweep_golden(dataset, tmp_path):
         "peak_layer": int(out["peak_layer"]),
         "stats": _round([{k: v for k, v in s.items()} for s in out["stats"]]),
     }
-    _check_or_regen(os.path.join(GOLDEN_DIR, "toy_sweep_golden.json"), got)
+    _check_or_regen(os.path.join(GOLDEN_DIR,
+                                 f"toy_sweep_golden{SUFFIX}.json"), got)
 
 
 def test_adversarial_sweep_golden(dataset, tmp_path):
@@ -130,5 +132,5 @@ def test_adversarial_sweep_golden(dataset, tmp_path):
     with open(os.path.join(out_dir, "summary.json")) as f:
         summary = json.load(f)
     got = _round(summary)
-    _check_or_regen(os.path.join(GOLDEN_DIR, "toy_adversarial_golden.json"),
-                    got)
+    _check_or_regen(
+        os.path.join(GOLDEN_DIR, f"toy_adversarial_golden{SUFFIX}.json"), got)
