@@ -23,14 +23,17 @@ import numpy as np
 TARGET_SECONDS = 60.0
 
 
-def make_cloud(n: int, d: int = 4096, seed: int = 42) -> np.ndarray:
+def make_cloud(n: int, d: int = 4096, seed: int = 42,
+               return_labels: bool = False):
     """Gaussian-mixture manifold: 8 clusters on a random 16-d subspace,
     embedded in d dims — enough structure that the layout has work to do."""
     rng = np.random.default_rng(seed)
     centers = rng.normal(size=(8, 16)) * 4.0
-    z = centers[rng.integers(0, 8, n)] + rng.normal(size=(n, 16))
+    labels = rng.integers(0, 8, n)
+    z = centers[labels] + rng.normal(size=(n, 16))
     proj = rng.normal(size=(16, d)) / 4.0
-    return (z @ proj).astype(np.float32)
+    x = (z @ proj).astype(np.float32)
+    return (x, labels) if return_labels else x
 
 
 def main() -> None:
@@ -39,7 +42,7 @@ def main() -> None:
     setup_runtime(want_device=True)
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 15
-    x = make_cloud(n)
+    x, labels = make_cloud(n, return_labels=True)
 
     from tdax.ops.umap import UMAP
 
@@ -49,6 +52,16 @@ def main() -> None:
                random_state=42).fit_transform(x)
     cold = time.time() - t0
     assert emb.shape == (n, 3) and np.all(np.isfinite(emb))
+
+    # structure gate: the 8 planted clusters must stay separated in the
+    # embedding (this runs on the chip every round — the bench doubles
+    # as an at-scale structure test for the edge-list path)
+    from tdax.metrics.silhouette import silhouette_score
+    sub = np.random.default_rng(0).choice(n, min(n, 4000), replace=False)
+    sil = float(silhouette_score(emb[sub], labels[sub]))
+    assert sil > 0.6, f"planted clusters collapsed: silhouette={sil:.3f}"
+    print(json.dumps({"stage": f"umap_{n}pts_structure",
+                      "silhouette_8clusters": round(sil, 3)}))
 
     # warm, host-resident input (includes the host->device upload)
     t0 = time.time()

@@ -269,10 +269,28 @@ def optimize_layout_edges(init: jnp.ndarray,
     doubling the head segment sum — eliminating the one UNSORTED
     scatter-add in the epoch (head-indexed sums ride the sorted fast
     path; a duplicate-heavy unsorted scatter is the worst-lowering op
-    on TPU)."""
+    on TPU).
+
+    Negative sampling is aggregated PER POINT, not per edge: the
+    per-edge schedules still decide how many negatives each edge owes
+    each epoch (uncapped, as in umap-learn — the old per-edge tensor
+    capped them at neg_rate+3 slots), but instead of gathering an
+    [E, neg] block of random rows (the single most expensive op on TPU:
+    ~2.2M row-gathers/epoch at 10k points — each row-gather from a
+    narrow [n, 3] table moves a full (8, 128) tile), each point draws
+    NEG_POOL shared uniform negatives and its repulsion is the sample
+    mean scaled by its owed count m_i.  Expectation is identical (the
+    owed draws are i.i.d. uniform either way); per-epoch variance grows
+    by ~m_i/NEG_POOL, which the 200-500 epoch schedule with decaying
+    alpha absorbs (structure tests hold).  Two micro-semantics move
+    with it: the ±4 clip bounds each *slot* (so a point's repulsion is
+    bounded by 4*m_i either way, at coarser granularity), and the
+    zero-distance skip applies to self-draws (d==0 with itself) rather
+    than each edge's own tail — at zero distance vs anything else the
+    +4 kick applies, as before."""
     E = head.shape[0]
-    max_neg = negative_sample_rate + 3  # NEG_SLACK, as in layout.py
     a32, b32, g32 = jnp.float32(a), jnp.float32(b), jnp.float32(gamma)
+    NEG_POOL = 16
 
     wmax = jnp.max(w)
     w = jnp.where(w < wmax / n_epochs, 0.0, w)
@@ -281,6 +299,7 @@ def optimize_layout_edges(init: jnp.ndarray,
                     n_epochs / jnp.maximum(n_samples, 1e-30), jnp.inf)
     epns = eps / negative_sample_rate
     edge_on = jnp.isfinite(eps)
+    self_ix = jnp.arange(n, dtype=jnp.int32)[:, None]
 
     def epoch_step(state, epoch):
         emb, eons, eonns = state
@@ -288,7 +307,9 @@ def optimize_layout_edges(init: jnp.ndarray,
         active = edge_on & (eons <= epoch)
 
         # --- attractive ---
-        diff = emb[head] - emb[tail]                              # [E, d]
+        # one fused row take for both endpoints (head half is sorted)
+        he_ta = jnp.take(emb, jnp.concatenate([head, tail]), axis=0)
+        diff = he_ta[:E] - he_ta[E:]                              # [E, d]
         d2 = jnp.sum(diff * diff, axis=-1)
         pd2b = jnp.power(jnp.maximum(d2, 1e-12), b32)
         att_coeff = jnp.where(d2 > 0.0,
@@ -297,40 +318,41 @@ def optimize_layout_edges(init: jnp.ndarray,
                               0.0)
         att = jnp.clip(att_coeff[:, None] * diff, -4.0, 4.0)
         att = jnp.where(active[:, None], att, 0.0)
-        # symmetric edge list: tail recoil == -(mirror edge's attraction),
-        # so -segment_sum(att, tail) == +segment_sum(att, head) exactly
-        force = 2.0 * jax.ops.segment_sum(att, head, num_segments=n,
-                                          indices_are_sorted=True)
-        cnt = 2.0 * jax.ops.segment_sum(active.astype(jnp.float32), head,
-                                        num_segments=n,
-                                        indices_are_sorted=True)
 
-        # --- repulsive (negative samples; only heads move) ---
+        # per-edge owed negative count (uncapped), aggregated to heads
         n_neg = jnp.where(active,
                           (epoch.astype(jnp.float32) - eonns) / epns, 0.0)
         n_neg_int = jnp.floor(n_neg).astype(jnp.int32)
-        k1 = jax.random.fold_in(key, epoch)
-        neg_idx = jax.random.randint(k1, (E, max_neg), 0, n)
-        slot = jax.lax.broadcasted_iota(jnp.int32, (E, max_neg), 1)
-        neg_on = active[:, None] & (slot < jnp.minimum(n_neg_int,
-                                                       max_neg)[:, None])
 
-        ndiff = emb[head][:, None, :] - emb[neg_idx]              # [E, neg, d]
+        # one fused segment sum: [att | active | owed] -> [n, d+2]
+        # (symmetric edge list: tail recoil == -(mirror's attraction),
+        # so -segment_sum(att, tail) == +segment_sum(att, head) exactly)
+        payload = jnp.concatenate(
+            [att, active.astype(jnp.float32)[:, None],
+             n_neg_int.astype(jnp.float32)[:, None]], axis=1)
+        seg = jax.ops.segment_sum(payload, head, num_segments=n,
+                                  indices_are_sorted=True)
+        force = 2.0 * seg[:, :-2]
+        cnt = 2.0 * seg[:, -2]
+        m = seg[:, -1]                                            # [n] owed
+
+        # --- repulsive (per-point shared pool; only heads move) ---
+        k1 = jax.random.fold_in(key, epoch)
+        ridx = jax.random.randint(k1, (n, NEG_POOL), 0, n)
+        en = jnp.take(emb, ridx.reshape(-1), axis=0).reshape(n, NEG_POOL, -1)
+        ndiff = emb[:, None, :] - en                              # [n, P, d]
         nd2 = jnp.sum(ndiff * ndiff, axis=-1)
         npd2b = jnp.power(jnp.maximum(nd2, 1e-12), b32)
         rep_coeff = (2.0 * g32 * b32) / ((0.001 + nd2) * (a32 * npd2b + 1.0))
         rep = jnp.clip(rep_coeff[..., None] * ndiff, -4.0, 4.0)
         zero_d = nd2 <= 0.0
-        is_tail = neg_idx == tail[:, None]
-        rep = jnp.where((zero_d & ~is_tail)[..., None], 4.0, rep)
-        on = neg_on & ~(zero_d & is_tail)
+        is_self = ridx == self_ix
+        rep = jnp.where((zero_d & ~is_self)[..., None], 4.0, rep)
+        on = ~(zero_d & is_self)
         rep = jnp.where(on[..., None], rep, 0.0)
-        force = force + jax.ops.segment_sum(jnp.sum(rep, axis=1), head,
-                                            num_segments=n,
-                                            indices_are_sorted=True)
-        cnt = cnt + jax.ops.segment_sum(
-            jnp.sum(on, axis=1).astype(jnp.float32), head, num_segments=n,
-            indices_are_sorted=True)
+        scale = m / NEG_POOL                                      # [n]
+        force = force + jnp.sum(rep, axis=1) * scale[:, None]
+        cnt = cnt + jnp.sum(on, axis=1).astype(jnp.float32) * scale
 
         emb = emb + force / jnp.maximum(cnt, 1.0)[:, None] * alpha
         eons = jnp.where(active, eons + eps, eons)
@@ -361,13 +383,20 @@ def optimize_layout_edges_fixed_tail(init: jnp.ndarray,
     """optimize_layout_edges in transform mode: tails stay fixed at
     ``tail_emb`` (the fitted train embedding), only heads (new points)
     move, negatives are drawn from the train set — the edge-list
-    counterpart of layout.optimize_layout(move_other=False)."""
+    counterpart of layout.optimize_layout(move_other=False).
+
+    Negatives use the same per-point aggregation as
+    optimize_layout_edges (see its docstring): each new point draws
+    NEG_POOL train rows, scaled by its owed count.  Zero-distance draws
+    all take the +4 kick here (there is no per-edge tail to exempt; a
+    new point exactly atop a train point does not survive the
+    weighted-mean init)."""
     E = head.shape[0]
     n_head = init.shape[0]
     n_tail = tail_emb.shape[0]
-    max_neg = negative_sample_rate + 3  # NEG_SLACK, as in layout.py
     a32, b32, g32 = jnp.float32(a), jnp.float32(b), jnp.float32(gamma)
     tail_fixed = tail_emb.astype(jnp.float32)
+    NEG_POOL = 16
 
     wmax = jnp.max(w)
     w = jnp.where(w < wmax / n_epochs, 0.0, w)
@@ -392,38 +421,32 @@ def optimize_layout_edges_fixed_tail(init: jnp.ndarray,
                               0.0)
         att = jnp.clip(att_coeff[:, None] * diff, -4.0, 4.0)
         att = jnp.where(active[:, None], att, 0.0)
-        force = jax.ops.segment_sum(att, head, num_segments=n_head,
-                                    indices_are_sorted=True)
-        cnt = jax.ops.segment_sum(active.astype(jnp.float32), head,
-                                  num_segments=n_head,
-                                  indices_are_sorted=True)
-
-        # --- repulsive (negatives from the train set; heads move) ---
         n_neg = jnp.where(active,
                           (epoch.astype(jnp.float32) - eonns) / epns, 0.0)
         n_neg_int = jnp.floor(n_neg).astype(jnp.int32)
-        k1 = jax.random.fold_in(key, epoch)
-        neg_idx = jax.random.randint(k1, (E, max_neg), 0, n_tail)
-        slot = jax.lax.broadcasted_iota(jnp.int32, (E, max_neg), 1)
-        neg_on = active[:, None] & (slot < jnp.minimum(n_neg_int,
-                                                       max_neg)[:, None])
+        payload = jnp.concatenate(
+            [att, active.astype(jnp.float32)[:, None],
+             n_neg_int.astype(jnp.float32)[:, None]], axis=1)
+        seg = jax.ops.segment_sum(payload, head, num_segments=n_head,
+                                  indices_are_sorted=True)
+        force = seg[:, :-2]
+        cnt = seg[:, -2]
+        m = seg[:, -1]
 
-        ndiff = emb[head][:, None, :] - tail_fixed[neg_idx]       # [E, neg, d]
+        # --- repulsive (per-point pool from the train set; heads move) ---
+        k1 = jax.random.fold_in(key, epoch)
+        ridx = jax.random.randint(k1, (n_head, NEG_POOL), 0, n_tail)
+        en = jnp.take(tail_fixed, ridx.reshape(-1),
+                      axis=0).reshape(n_head, NEG_POOL, -1)
+        ndiff = emb[:, None, :] - en                              # [nh, P, d]
         nd2 = jnp.sum(ndiff * ndiff, axis=-1)
         npd2b = jnp.power(jnp.maximum(nd2, 1e-12), b32)
         rep_coeff = (2.0 * g32 * b32) / ((0.001 + nd2) * (a32 * npd2b + 1.0))
         rep = jnp.clip(rep_coeff[..., None] * ndiff, -4.0, 4.0)
-        zero_d = nd2 <= 0.0
-        is_tail = neg_idx == tail[:, None]
-        rep = jnp.where((zero_d & ~is_tail)[..., None], 4.0, rep)
-        on = neg_on & ~(zero_d & is_tail)
-        rep = jnp.where(on[..., None], rep, 0.0)
-        force = force + jax.ops.segment_sum(jnp.sum(rep, axis=1), head,
-                                            num_segments=n_head,
-                                            indices_are_sorted=True)
-        cnt = cnt + jax.ops.segment_sum(
-            jnp.sum(on, axis=1).astype(jnp.float32), head,
-            num_segments=n_head, indices_are_sorted=True)
+        rep = jnp.where((nd2 <= 0.0)[..., None], 4.0, rep)
+        scale = m / NEG_POOL
+        force = force + jnp.sum(rep, axis=1) * scale[:, None]
+        cnt = cnt + m
 
         emb = emb + force / jnp.maximum(cnt, 1.0)[:, None] * alpha
         eons = jnp.where(active, eons + eps, eons)
