@@ -67,6 +67,11 @@ def qdot(x: jnp.ndarray, w) -> jnp.ndarray:
                 xq, w["q"], (((xq.ndim - 1,), (w["q"].ndim - 2,)), ((), ())),
                 preferred_element_type=jnp.int32)
             return (acc.astype(jnp.float32) * s_x * w["s"]).astype(x.dtype)
+        from tdax.ops.quant_matmul import qmm_supported, quant_matmul
+        if qmm_supported(x, w["q"]):
+            # TDAX_QMM=1 experiment: Pallas dequant-GEMM (measured A/B
+            # in tdax/ops/quant_matmul.py — XLA currently ahead)
+            return quant_matmul(x, w["q"], w["s"])
         out = jnp.dot(x, w["q"].astype(x.dtype),
                       preferred_element_type=jnp.float32)
         return (out * w["s"]).astype(x.dtype)

@@ -139,3 +139,50 @@ def test_w8a8_forward_fidelity():
     assert drift < 0.15, drift
     agree = (got.argmax(-1) == base.argmax(-1)).mean()
     assert agree > 0.9, agree
+
+
+def test_pallas_qmm_interpret_matches_xla():
+    """Interpret-mode Pallas dequant-GEMM == the XLA dequant matmul,
+    across the model's real (K, N) tiling classes and a padded-M case."""
+    from tdax.ops.quant_matmul import quant_matmul_interpret
+
+    rng = np.random.default_rng(2)
+    for M, K, N in [(8, 256, 128), (130, 256, 384), (64, 512, 256)]:
+        x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32),
+                        dtype=jnp.bfloat16)
+        w = rng.normal(size=(K, N)).astype(np.float32) / np.sqrt(K)
+        qw = quantize_weight(w)
+        ref = (jnp.dot(x, qw["q"].astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+               * qw["s"]).astype(x.dtype)
+        out = quant_matmul_interpret(x, qw["q"], qw["s"])
+        assert out.dtype == x.dtype and out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+
+
+def test_pallas_qmm_batched_and_grad():
+    """Leading batch dims collapse correctly; custom_vjp dx matches the
+    dequant formulation."""
+    from tdax.ops.quant_matmul import quant_matmul_interpret
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 3, 256)).astype(np.float32),
+                    dtype=jnp.bfloat16)
+    w = rng.normal(size=(256, 128)).astype(np.float32) / 16.0
+    qw = quantize_weight(w)
+    out = quant_matmul_interpret(x, qw["q"], qw["s"])
+    assert out.shape == (2, 3, 128)
+
+    # the bwd rule (CPU-runnable: it never touches the kernel)
+    from tdax.ops.quant_matmul import _qmm_bwd
+
+    dy = jnp.asarray(rng.normal(size=(2, 3, 128)).astype(np.float32),
+                     dtype=jnp.bfloat16)
+    dx, dq, ds = _qmm_bwd((x, qw["q"], qw["s"]), dy)
+    assert dq is None and ds is None and dx.dtype == x.dtype
+    wd = np.asarray(qw["q"], np.float32) * np.asarray(qw["s"])
+    ref = np.einsum("btn,kn->btk", np.asarray(dy, np.float32), wd)
+    np.testing.assert_allclose(np.asarray(dx, np.float32), ref,
+                               rtol=3e-2, atol=3e-2)
