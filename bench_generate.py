@@ -50,6 +50,10 @@ def main() -> None:
     params = jax.device_put(params)
     jax.block_until_ready(params)
 
+    from tdax.models.qwen_vl.quantize import quantized_bytes
+    param_bytes = quantized_bytes(params)
+    HBM = 15.75e9  # one v5e chip
+
     rng = np.random.default_rng(0)
     results = {}
     for b in batches:
@@ -57,6 +61,23 @@ def main() -> None:
                           .astype(np.int32))
         mask = jnp.ones((b, t), jnp.int32)
         t_max = t + new_tokens
+
+        # single-chip feasibility: params + k/v caches must fit in HBM
+        # (batch 32 of the full config needs 9.7 GB params + 6.4 GB
+        # caches = 16.1 GB > 15.75 — that batch size takes >= 2 chips
+        # via the provided tp sharding, so skip it honestly here)
+        kv_bytes = (2 * cfg.num_layers * b * t_max * cfg.num_heads
+                    * cfg.head_dim * jnp.dtype(cfg.dtype).itemsize)
+        # 0.88: leave ~12% for activations, the per-layer pad transient,
+        # and allocator fragmentation (b=32 full passes a 0.93 gate on
+        # paper at 14.2 GB and still OOMs in practice)
+        if param_bytes + kv_bytes > HBM * 0.88:
+            print(json.dumps({
+                "stage": "skipped_batch", "mode": mode, "batch": b,
+                "reason": "params+caches exceed one chip's HBM",
+                "param_gb": round(param_bytes / 1e9, 2),
+                "kv_gb": round(kv_bytes / 1e9, 2)}))
+            continue
 
         prefill_fn = jax.jit(functools.partial(prefill, t_max=t_max),
                              static_argnums=(1,))  # cfg is static
@@ -80,8 +101,11 @@ def main() -> None:
         lengths = jnp.full((b,), t, jnp.int32)
         tok0 = jnp.zeros((b,), jnp.int32)
 
+        # lengths is an argument, not a closure capture: an eagerly
+        # created device array closed over by a jitted fn becomes a
+        # lowering-time device fetch over the relay (CLAUDE.md gotcha)
         @jax.jit
-        def decode_n(params, tok, ks, vs):
+        def decode_n(params, tok, lengths, ks, vs):
             def step(carry, i):
                 tok, ks, vs = carry
                 logits, ks, vs = _decode_step(params, cfg, tok,
@@ -93,11 +117,11 @@ def main() -> None:
                 step, (tok, ks, vs), jnp.arange(new_tokens, dtype=jnp.int32))
             return toks
 
-        toks = decode_n(params, tok0, ks, vs)
+        toks = decode_n(params, tok0, lengths, ks, vs)
         jax.block_until_ready(toks)  # compile
         t0 = time.time()
         for _ in range(n_iter):
-            toks = decode_n(params, tok0, ks, vs)
+            toks = decode_n(params, tok0, lengths, ks, vs)
         jax.block_until_ready(toks)
         dt_decode = (time.time() - t0) / n_iter
         tok_s = b * new_tokens / dt_decode

@@ -136,6 +136,25 @@ def main() -> None:
                       "value": round(tok_s, 1), "unit": "tokens/s",
                       "vs_baseline": None}))
 
+    # decoder-only capture (images=None): isolates the 32-layer decoder
+    # stack from the ViT+resampler for the MFU decomposition
+    run_txt = jax.jit(lambda p, i, m, l:
+                      extract_layer_activations(p, cfg, i, m, l, None, None))
+    out = run_txt(params, ids, mask, last)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(n_iters):
+        out = run_txt(params, ids, mask, last)
+    jax.block_until_ready(out)
+    dt_txt = (time.time() - t0) / n_iters
+    flops_txt = tokens * decoder_flops_per_token(cfg) + attn
+    print(json.dumps({"stage": "steady_state_decoder_only", "batch": b,
+                      "seq": t, "value": round(dt_txt, 4), "unit": "s/iter",
+                      "tokens_per_s": round(tokens / dt_txt, 1),
+                      "mfu_vs_v5e_bf16": (round(flops_txt / dt_txt
+                                                / V5E_BF16_PEAK, 4)
+                                          if on_tpu else None)}))
+
 
 if __name__ == "__main__":
     main()

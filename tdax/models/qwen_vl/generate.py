@@ -51,17 +51,22 @@ def prefill(params, cfg: QwenVLConfig, input_ids, attn_mask,
     cos, sin = rotary_cos_sin(positions, cfg.head_dim, cfg.rope_base)
     mask = AttnSpec(kv_valid=attn_mask, causal=True)
 
+    pad = t_max - t
+
     def step(h, layer):
         h, k, v = _prefill_block(h, layer, cfg, cos, sin, mask)
+        if pad:
+            # pad each layer's cache to t_max INSIDE the scan: stacking
+            # then emits [L, B, t_max, ...] directly.  Padding after the
+            # scan (concatenate over all L layers at once) transiently
+            # held BOTH the unpadded and padded full cache stacks —
+            # ~2x cache HBM at peak, which is what ran batch 32 of the
+            # full config out of memory
+            k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
         return h, (k, v)
 
     final, (ks, vs) = jax.lax.scan(step, x, params["layers"])
-    pad = t_max - t
-    if pad:
-        zeros = jnp.zeros((ks.shape[0], b, pad, cfg.num_heads, cfg.head_dim),
-                          ks.dtype)
-        ks = jnp.concatenate([ks, zeros], axis=2)
-        vs = jnp.concatenate([vs, zeros], axis=2)
     return final, ks, vs
 
 

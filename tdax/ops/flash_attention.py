@@ -89,8 +89,17 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
             causal: bool, blk_q: int, blk_k: int, scale: float,
-            precision, out_dtype):
-    i, j = pl.program_id(1), pl.program_id(2)
+            precision, out_dtype, qk_axes: tuple):
+    # qk_axes: grid dims carrying (q-block, k-block) — (1, 2) on the 3-D
+    # [b*nh, i, j] grid, (2, 3) on the 4-D zero-transpose [b, nh, i, j]
+    # grid.  Hard-coding (1, 2) here once keyed the causal mask and the
+    # accumulator init/write to (head, q-block) on the 4-D grid: heads
+    # >= 1 lost causal masking entirely (rows = head*blk_q + iota made
+    # cols <= rows vacuously true) and multi-q-block shapes read stale
+    # accumulators.  The full config's head_dim = 128 takes exactly that
+    # path, so the regression tests below pin aligned+causal+multiblock.
+    q_ax, k_ax = qk_axes
+    i, j = pl.program_id(q_ax), pl.program_id(k_ax)
 
     @pl.when(j == 0)
     def _():
@@ -132,7 +141,7 @@ def _kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     else:
         body()
 
-    @pl.when(j == pl.num_programs(2) - 1)
+    @pl.when(j == pl.num_programs(k_ax) - 1)
     def _():
         # fully-masked (padding) query rows have l == 0 via exp underflow
         # only when nothing was accumulated; guard the divide — their
@@ -173,9 +182,11 @@ def _flash_impl(q, k, v, bias, causal: bool, interpret: bool) -> jnp.ndarray:
     # second-to-last dimension equal to the array's (TPU tiling rule)
     bias_p = jnp.pad(bias.astype(jnp.float32), ((0, 0), (0, tk_pad - tk)),
                      constant_values=NEG_INF)[:, None, :]
-    kernel = functools.partial(
-        _kernel, causal=causal, blk_q=blk_q, blk_k=blk_k,
-        scale=1.0 / np.sqrt(hd), precision=precision, out_dtype=q.dtype)
+    def make_kernel(qk_axes):
+        return functools.partial(
+            _kernel, causal=causal, blk_q=blk_q, blk_k=blk_k,
+            scale=1.0 / np.sqrt(hd), precision=precision,
+            out_dtype=q.dtype, qk_axes=qk_axes)
     scratch = [
         pltpu.VMEM((blk_q, hd_pad), jnp.float32),   # acc
         pltpu.VMEM((blk_q, 128), jnp.float32),      # running max
@@ -199,7 +210,7 @@ def _flash_impl(q, k, v, bias, causal: bool, interpret: bool) -> jnp.ndarray:
         qt, kt, vt = prep(q, tq_pad), prep(k, tk_pad), prep(v, tk_pad)
         grid = (b, nh, tq_pad // blk_q, tk_pad // blk_k)
         out = pl.pallas_call(
-            kernel,
+            make_kernel(qk_axes=(2, 3)),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1, blk_k),
@@ -235,7 +246,7 @@ def _flash_impl(q, k, v, bias, causal: bool, interpret: bool) -> jnp.ndarray:
     qt, kt, vt = prep(q, tq_pad), prep(k, tk_pad), prep(v, tk_pad)
     grid = (b * nh, tq_pad // blk_q, tk_pad // blk_k)
     out = pl.pallas_call(
-        kernel,
+        make_kernel(qk_axes=(1, 2)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, blk_k), lambda g, i, j: (g // nh, 0, j),

@@ -197,6 +197,15 @@ def rips_tiny_batched(clouds, maxdim: int = 1) -> list[list[np.ndarray]]:
         raise ValueError("rips_tiny_batched supports maxdim=1 only")
     clouds = jnp.asarray(clouds)
     l_cnt, n = clouds.shape[0], clouds.shape[1]
+    # the holder election's int32 sort key is low * C(n,3) + col with
+    # low < C(n,2); it must stay below the 2**30 invalid marker, which
+    # holds through n = 100 (C(100,2)*C(100,3) ~ 8.0e8) and overflows
+    # past it — this path is for tiny clouds, so bound it explicitly
+    # rather than silently corrupting a forced backend='device' call
+    if n > 100:
+        raise ValueError(
+            f"rips_tiny_batched is limited to n <= 100 points (got {n}): "
+            "the on-device election key is int32; use the native engine")
     births, deaths, mst, converged, _ = _tiny_h1_pairs(clouds, n)
     if not bool(converged):  # pragma: no cover - safety net
         raise RuntimeError("tiny-device rips reduction did not converge "

@@ -41,6 +41,12 @@ def _bias_from_valid(valid):
     (130, 130, 1, 128, True),  # spills into a second q block
     (16, 260, 1, 32, False),   # multiple k blocks (tk_pad 384 -> blk 384)
     (64, 192, 2, 128, False),  # zero-transpose layout (hd % 128 == 0), cross
+    # zero-transpose (4-D grid) regressions: the kernel once read the
+    # grid's (head, q-block) dims as (q-block, k-block) — visible ONLY
+    # with nh >= 2 under causal, or >= 2 q-blocks, on the aligned path
+    (256, 256, 2, 128, True),   # heads >= 1 lost the causal mask
+    (1024, 1024, 1, 128, True), # 2 q-blocks: stale-accumulator/NaN case
+    (128, 640, 2, 128, True),   # multi-k-block aligned causal
 ])
 def test_flash_matches_reference(tq, tk, nh, hd, causal):
     rng = np.random.default_rng(0)
