@@ -126,13 +126,45 @@ def _fused_extract_small(xj, n: int, target_degree: int, sample: int,
         neg_vals, idx = jax.lax.approx_max_k(-d, k, recall_target=1.0)
         vals = -neg_vals
         keep = vals <= t
+        counts, prefix_ok = _prefix_counts(keep, k)
         # completeness: a row whose k-th smallest is still within the
         # threshold was truncated (k == n-1 holds every neighbor, so
         # truncation is impossible there)
         truncated = jnp.sum(vals[:, -1] <= t) if k < n - 1 else jnp.int32(0)
-        return idx, vals, keep, truncated, t
+        return idx, counts, prefix_ok, truncated, t
 
     return fused(xj, budget)
+
+
+def _prefix_counts(keep, k: int):
+    """Per-row kept-neighbor counts, plus a device-checked invariant
+    that the keep mask is a PREFIX of each row (true because the
+    approx_max_k values are ascending per row and keep = vals <= t).
+    Only [rows] counts cross the host boundary instead of the [rows, k]
+    f32 vals + bool keep arrays — at 100k points that stage's transfer
+    is ~150 MB over a ~30 MB/s relay, and the values are refined in
+    difference form later anyway, so shipping them is pure waste."""
+    import jax.numpy as jnp
+
+    counts = jnp.sum(keep, axis=1, dtype=jnp.int32)
+    slots = jnp.arange(k, dtype=jnp.int32)[None, :]
+    prefix_ok = jnp.all(keep == (slots < counts[:, None]))
+    return counts, prefix_ok
+
+
+def _edges_from_prefix(idx: np.ndarray, counts: np.ndarray,
+                       prefix_ok: bool, row0: int, budget: int):
+    """Expand per-row prefix counts into (r, c) edge arrays host-side.
+    idx/counts are already sliced to the live rows of the block."""
+    if not prefix_ok:  # pragma: no cover - approx_max_k sortedness guard
+        raise RuntimeError(
+            "approx_max_k returned per-row values that are not ascending; "
+            "the prefix-count edge extraction assumed sorted rows")
+    m = len(counts)
+    r = np.repeat(np.arange(row0, row0 + m, dtype=np.int64), counts)
+    mask = np.arange(budget, dtype=np.int32)[None, :] < counts[:, None]
+    c = idx[mask].astype(np.int32)
+    return r, c
 
 
 def _refine_edge_values(xj, r: np.ndarray, c: np.ndarray,
@@ -230,19 +262,16 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
         # device program; host-side compaction of the kept slots
         t0 = time.time()
         row_budget = min(int(target_degree * degree_headroom), n - 1)
-        idx, vals, keep, truncated, t = _fused_extract_small(
+        idx, counts, prefix_ok, truncated, t = _fused_extract_small(
             xj, n, target_degree, 512, row_budget)
         if int(truncated):
             raise ValueError(
                 f"{int(truncated)} rows have >= {row_budget} neighbors "
                 f"within the threshold; raise degree_headroom")
         thresh = float(t)
-        keep = np.asarray(keep)
-        idx = np.asarray(idx)
-        vals = np.asarray(vals)
-        r_local, slot = np.nonzero(keep)
-        r = r_local.astype(np.int64)
-        c = idx[r_local, slot].astype(np.int32)
+        r, c = _edges_from_prefix(np.asarray(idx), np.asarray(counts),
+                                  bool(prefix_ok), row0=0,
+                                  budget=row_budget)
         timings["extract_s"] = time.time() - t0
 
         t0 = time.time()
@@ -292,10 +321,11 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
         neg_vals, idx = jax.lax.approx_max_k(-d, k, recall_target=1.0)
         vals = -neg_vals
         keep = vals <= t
+        counts, prefix_ok = _prefix_counts(keep, k)
         # completeness: the k-th smallest must exceed the threshold,
         # else this row was truncated
         truncated = jnp.sum(vals[:, -1] <= t)
-        return idx, vals, keep, truncated
+        return idx, counts, prefix_ok, truncated
 
     # dispatch every block before fetching any: JAX dispatch is async, so
     # the device pipeline hides per-dispatch relay latency behind compute
@@ -307,25 +337,31 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
         # drop their (duplicate) edges host-side
         pad = block_rows - (hi - row0)
         rows_slice = jnp.concatenate([xj[row0:hi], xj[:pad]]) if pad else xj[row0:hi]
-        pending.append((row0, hi, extract_block(rows_slice, xj, jnp.int32(row0),
-                                                jnp.float32(thresh), row_budget)))
+        out = extract_block(rows_slice, xj, jnp.int32(row0),
+                            jnp.float32(thresh), row_budget)
+        # start device->host DMA as soon as each block's result exists,
+        # so transfers of block i overlap compute of blocks i+1..
+        for a in out:
+            if hasattr(a, "copy_to_host_async"):
+                a.copy_to_host_async()
+        pending.append((row0, hi, out))
     timings["dispatch_s"] = time.time() - t0
     _v(f"{len(pending)} blocks dispatched in {timings['dispatch_s']:.1f}s")
 
     rs, cs = [], []
-    for row0, hi, (idx, vals, keep, truncated) in pending:
+    for row0, hi, (idx, counts, prefix_ok, truncated) in pending:
         if int(truncated):
             raise ValueError(
                 f"{int(truncated)} rows in block {row0} have >= "
                 f"{row_budget} neighbors within the threshold; raise "
                 f"degree_headroom")
         m = hi - row0
-        keep = np.asarray(keep)[:m]
-        idx = np.asarray(idx)[:m]
-        vals = np.asarray(vals)[:m]
-        r_local, slot = np.nonzero(keep)
-        rs.append((r_local + row0).astype(np.int64))
-        cs.append(idx[r_local, slot].astype(np.int32))
+        rb, cb = _edges_from_prefix(np.asarray(idx)[:m],
+                                    np.asarray(counts)[:m],
+                                    bool(prefix_ok), row0=row0,
+                                    budget=row_budget)
+        rs.append(rb)
+        cs.append(cb)
         _v(f"block {row0} fetched at +{time.time() - t0:.1f}s")
     timings["extract_s"] = time.time() - t0
 
