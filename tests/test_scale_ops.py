@@ -214,3 +214,18 @@ def test_rips_at_scale_sparse_device_resident_input():
     assert a["n_edges"] == b["n_edges"]
     for p in range(2):
         np.testing.assert_array_equal(a["dgms"][p], b["dgms"][p])
+
+
+def test_select_threshold_matches_host_reference():
+    """The device-side threshold (top_k kth + median, one scalar fetch)
+    must agree with the host formulation it replaced: np.partition of
+    the sampled rows' distances at index target_degree, then median."""
+    from tdax.pipeline.scale import _select_threshold
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(300, 24)).astype(np.float32)
+    k = 11
+    t = _select_threshold(jnp.asarray(x), 300, k, sample=64)
+    rows = np.linspace(0, 299, 64).astype(np.int32)
+    d = pairwise_euclidean_np(x).astype(np.float32)[rows]
+    kth = np.partition(d, k, axis=1)[:, k]
+    assert abs(t - float(np.median(kth))) <= 1e-4 * float(np.median(kth))
