@@ -32,6 +32,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <deque>
 #include <limits>
 #include <queue>
 #include <thread>
@@ -409,58 +410,109 @@ class RipsEngine {
 
   // --- reduction ----------------------------------------------------------------
 
-  // Working column: a binary min-heap over a reusable flat buffer
-  // (std::make_heap/push_heap/pop_heap keep capacity across columns).
-  struct Heap {
-    std::vector<DiamIdx> buf;
-    void clear() { buf.clear(); }
-    void push(const DiamIdx& e) {
-      buf.push_back(e);
-      std::push_heap(buf.begin(), buf.end(), HeapGreater{});
+  // Lazy working column: a k-way merge over SORTED runs instead of an
+  // eager element heap (same design as the sparse engine's LazyCol —
+  // see tdax_rips_sparse.cc).  Most eagerly-heaped elements were never
+  // popped: chains settle long before consuming the stored remainders
+  // they splice in, so copying each remainder into the heap plus the
+  // O(heap) re-heapify per splice and the periodic mod-2 compaction
+  // sorts were almost entirely wasted motion.  An insert is one cursor
+  // push (stored remainders referenced ZERO-COPY; immutable once
+  // stored); the merge pops equal (diam, idx) entries adjacently —
+  // within a run elements are strictly increasing, so all copies of a
+  // value head distinct runs simultaneously — making pop_pivot's
+  // pairwise mod-2 cancellation identical to the eager heap's.
+  struct LazyCol {
+    struct Cursor {
+      DiamIdx head;
+      const DiamIdx* pos;  // next element after head (may equal end)
+      const DiamIdx* end;
+    };
+    std::vector<Cursor> cur;                  // min-heap on head
+    std::vector<std::vector<DiamIdx>> owned;  // column-local run storage
+
+    static bool cur_after(const Cursor& a, const Cursor& b) {
+      return ascending(b.head, a.head);  // min-heap via max-comparator
     }
-    void append(const DiamIdx& e) { buf.push_back(e); }  // pre-heapify only
-    void heapify() { std::make_heap(buf.begin(), buf.end(), HeapGreater{}); }
-    bool empty() const { return buf.empty(); }
-    DiamIdx top() const { return buf.front(); }
-    void pop() {
-      std::pop_heap(buf.begin(), buf.end(), HeapGreater{});
-      buf.pop_back();
+    void clear() {
+      cur.clear();
+      owned.clear();
+    }
+    bool empty() const { return cur.empty(); }
+    size_t size() const { return cur.size(); }  // run count (debug only)
+    DiamIdx pop() {
+      std::pop_heap(cur.begin(), cur.end(), cur_after);
+      Cursor& c = cur.back();
+      DiamIdx out = c.head;
+      if (c.pos != c.end) {
+        c.head = *c.pos++;
+        std::push_heap(cur.begin(), cur.end(), cur_after);
+      } else {
+        cur.pop_back();
+      }
+      return out;
+    }
+    // add a sorted ascending run by reference; [b, e) must stay valid
+    // and unmodified for the lifetime of this column
+    void add_sorted_ref(const DiamIdx* b, const DiamIdx* e) {
+      if (b == e) return;
+      cur.push_back({*b, b + 1, e});
+      std::push_heap(cur.begin(), cur.end(), cur_after);
+    }
+    void add_sorted_own(std::vector<DiamIdx>&& v) {
+      if (v.empty()) return;
+      owned.push_back(std::move(v));
+      const std::vector<DiamIdx>& s = owned.back();
+      add_sorted_ref(s.data(), s.data() + s.size());
+    }
+    // single element: the cursor's head IS the storage (pos == end)
+    void add_single(const DiamIdx& e) {
+      cur.push_back({e, nullptr, nullptr});
+      std::push_heap(cur.begin(), cur.end(), cur_after);
+    }
+    // pop the minimal surviving entry mod 2 (equal pairs cancel)
+    bool pop_pivot(DiamIdx& out) {
+      while (!cur.empty()) {
+        DiamIdx t = pop();
+        if (!cur.empty() && cur.front().head.idx == t.idx &&
+            cur.front().head.diam == t.diam) {
+          pop();
+          continue;
+        }
+        out = t;
+        return true;
+      }
+      return false;
+    }
+    // drain the remaining content into a sorted mod-2-compacted vector:
+    // flat copy + sort + pairwise cancel beats popping every element
+    // through the cursor heap (the drain is the bulk of all pops)
+    std::vector<DiamIdx> materialize() {
+      std::vector<DiamIdx> out;
+      size_t total = 0;
+      for (const Cursor& c : cur) total += 1 + (c.end - c.pos);
+      out.reserve(total);
+      for (const Cursor& c : cur) {
+        out.push_back(c.head);
+        out.insert(out.end(), c.pos, c.end);
+      }
+      cur.clear();
+      owned.clear();
+      std::sort(out.begin(), out.end(), ascending);
+      size_t w = 0;
+      for (size_t i = 0; i < out.size();) {
+        if (i + 1 < out.size() && out[i].idx == out[i + 1].idx &&
+            out[i].diam == out[i + 1].diam) {
+          i += 2;  // cancelled mod-2 pair
+          continue;
+        }
+        out[w++] = out[i++];
+      }
+      out.resize(w);
+      out.shrink_to_fit();
+      return out;
     }
   };
-
-  static bool pop_pivot(Heap& heap, DiamIdx& out) {
-    while (!heap.empty()) {
-      DiamIdx top = heap.top();
-      heap.pop();
-      if (!heap.empty() && heap.top().idx == top.idx &&
-          heap.top().diam == top.diam) {
-        heap.pop();  // Z/2 cancellation
-        continue;
-      }
-      out = top;
-      return true;
-    }
-    return false;
-  }
-
-  // cancel mod-2 duplicate entries in place (sort, drop equal pairs).
-  // Stored remainders and the working coboundary accumulate uncancelled
-  // duplicate pairs; on long reduction chains the raw buffers grow
-  // super-quadratically — compaction keeps them at true mod-2 support.
-  static void compact_mod2(std::vector<DiamIdx>& v) {
-    std::sort(v.begin(), v.end(), ascending);
-    size_t out = 0;
-    for (size_t i = 0; i < v.size();) {
-      if (i + 1 < v.size() && v[i].idx == v[i + 1].idx &&
-          v[i].diam == v[i + 1].diam) {
-        i += 2;  // cancelled pair (runs of 2k collapse pairwise)
-        continue;
-      }
-      v[out++] = v[i++];
-    }
-    v.resize(out);
-    v.shrink_to_fit();
-  }
 
   void reduce_dimension(int p, std::vector<DiamIdx>& columns,
                         std::vector<Bar>& bars, PivotMap& pivots) {
@@ -498,12 +550,28 @@ class RipsEngine {
     // of the owner's whole V-column (which made long chains quadratic).
     std::vector<DiamIdx> owner_col;
     std::vector<std::vector<DiamIdx>> owner_rem;
+    // owner_stored: 0 = unreduced claim (R = raw coboundary), 1 =
+    // materialized remainder, 2 = FROZEN remainder — the claim-time
+    // working column kept as-is; a large share of remainders are never
+    // referenced again, so the copy + sort + mod-2 compaction is
+    // deferred until first use (memoized to state 1).  Phase B is
+    // sequential here, so freezing is unconditionally sound (see the
+    // sparse engine for the invariant argument).
     std::vector<uint8_t> owner_stored;
+    std::vector<int64_t> owner_frozen;
+    std::deque<LazyCol> frozen_store;
     owner_col.reserve(columns.size());
     owner_rem.reserve(columns.size());
     owner_stored.reserve(columns.size());
+    owner_frozen.reserve(columns.size());
 
-    Heap heap;
+    auto ensure_materialized = [&](int64_t owner) {
+      if (owner_stored[owner] != 2) return;
+      owner_rem[owner] = frozen_store[owner_frozen[owner]].materialize();
+      owner_stored[owner] = 1;
+    };
+
+    LazyCol heap;
     for (size_t ci = 0; ci < columns.size(); ++ci) {
       const DiamIdx col = columns[ci];
 #ifdef TDAX_DEBUG_STAGE
@@ -519,21 +587,26 @@ class RipsEngine {
         owner_col.push_back(col);
         owner_rem.emplace_back();
         owner_stored.push_back(0);
+        owner_frozen.push_back(-1);
         pivots.insert(cand[ci], static_cast<int64_t>(owner_col.size() - 1));
         continue;  // death == birth: no bar emitted
       }
 
-      // full reduction: materialize the coboundary once, heapify in O(k)
+      // full reduction: seed the lazy column with the sorted coboundary
 #ifdef TDAX_PROF
       auto _t1 = std::chrono::steady_clock::now();
 #endif
       heap.clear();
-      enumerate_cofacets(col.idx, col.diam, p, [&](value_t diam, index_t cidx) {
-        if (diam <= thresh_) heap.append({diam, cidx});
-        return true;
-      });
-      heap.heapify();
-      size_t compact_limit = std::max<size_t>(4096, 2 * heap.buf.size());
+      {
+        std::vector<DiamIdx> cob;
+        enumerate_cofacets(col.idx, col.diam, p,
+                           [&](value_t diam, index_t cidx) {
+          if (diam <= thresh_) cob.push_back({diam, cidx});
+          return true;
+        });
+        std::sort(cob.begin(), cob.end(), ascending);
+        heap.add_sorted_own(std::move(cob));
+      }
 #ifdef TDAX_PROF
       prof_phase2_init += std::chrono::duration<double>(
           std::chrono::steady_clock::now() - _t1).count();
@@ -544,7 +617,7 @@ class RipsEngine {
       (void)dbg_iters;
       while (true) {
         DiamIdx pivot;
-        if (!pop_pivot(heap, pivot)) {
+        if (!heap.pop_pivot(pivot)) {
           // zero column: essential class.  Impossible under the
           // enclosing-radius mode (the complex cones off) — flag the
           // invariant violation so the caller fails loudly instead of
@@ -562,11 +635,15 @@ class RipsEngine {
 #endif
         int64_t owner = pivots.find(pivot.idx);
         if (owner < 0) {
-          compact_mod2(heap.buf);  // store the true mod-2 support only
           owner_col.push_back(col);
-          owner_rem.push_back(std::move(heap.buf));  // ≡ R(col) \ {pivot}
-          owner_stored.push_back(1);
-          heap.buf = std::vector<DiamIdx>();
+          // freeze the working column ≡ R(col) \ {pivot}; materialized
+          // lazily on first reference (often never)
+          frozen_store.emplace_back(std::move(heap));
+          heap = LazyCol();
+          owner_rem.emplace_back();
+          owner_stored.push_back(2);
+          owner_frozen.push_back(
+              static_cast<int64_t>(frozen_store.size() - 1));
           pivots.insert(pivot.idx, static_cast<int64_t>(owner_col.size() - 1));
           if (pivot.diam > col.diam)
             bars.push_back({static_cast<int32_t>(p), col.diam, pivot.diam});
@@ -579,31 +656,26 @@ class RipsEngine {
 #ifdef TDAX_PROF
         prof_additions += 1;
 #endif
+        ensure_materialized(owner);
         if (owner_stored[owner]) {
           // W_new = (W \ {pivot}) + (R_owner \ {pivot}): the two pivot
-          // copies cancel mod 2, so neither is re-pushed
+          // copies cancel mod 2, so neither is re-added; the stored
+          // remainder is referenced zero-copy
           const std::vector<DiamIdx>& rem = owner_rem[owner];
-          if (rem.size() > 64) {
-            heap.buf.insert(heap.buf.end(), rem.begin(), rem.end());
-            heap.heapify();  // O(n) beats len(rem) heap pushes
-          } else {
-            for (const DiamIdx& e : rem) heap.push(e);
-          }
+          heap.add_sorted_ref(rem.data(), rem.data() + rem.size());
         } else {
           // claimed column: its R is the raw coboundary of its simplex,
-          // which regenerates the pivot — re-push ours so they cancel
-          heap.push(pivot);
+          // which regenerates the pivot — re-add ours so they cancel
+          heap.add_single(pivot);
+          std::vector<DiamIdx> cob;
           const DiamIdx oc = owner_col[owner];
           enumerate_cofacets(oc.idx, oc.diam, p,
                              [&](value_t diam, index_t cidx) {
-            if (diam <= thresh_) heap.push({diam, cidx});
+            if (diam <= thresh_) cob.push_back({diam, cidx});
             return true;
           });
-        }
-        if (heap.buf.size() > compact_limit) {
-          compact_mod2(heap.buf);
-          heap.heapify();
-          compact_limit = std::max<size_t>(4096, 2 * heap.buf.size());
+          std::sort(cob.begin(), cob.end(), ascending);
+          heap.add_sorted_own(std::move(cob));
         }
       }
     }

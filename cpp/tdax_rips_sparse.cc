@@ -16,11 +16,13 @@
 // Z/2; pairs with death <= birth dropped; essential bars death = -1.
 
 #include <algorithm>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <deque>
 #include <limits>
 #include <thread>
 #include <vector>
@@ -375,85 +377,177 @@ class SparseRips {
 
   // --- reduction -----------------------------------------------------------------
 
-  struct Heap {
-    std::vector<DiamIdx> buf;
-    void clear() { buf.clear(); }
-    void push(const DiamIdx& e) {
-      buf.push_back(e);
-      std::push_heap(buf.begin(), buf.end(), HeapGreater{});
+  // Lazy working column: a k-way merge over SORTED runs instead of an
+  // eager element heap.  Profiling the 30k/100k H1 reductions showed
+  // ~90% of eagerly-heaped elements are never popped (1.24M pops vs
+  // ~13M inserted at 30k): chains settle long before consuming the
+  // stored remainders they splice in, so copying each ~500-element
+  // remainder into the heap (plus the O(heap) re-heapify per splice and
+  // the periodic mod-2 compaction sorts) was almost entirely wasted
+  // motion.  Here an insert is one cursor push (stored remainders are
+  // referenced ZERO-COPY; they are immutable once stored), a pop is
+  // O(log #runs), and the merge pops equal (diam, idx) entries
+  // adjacently — within a run elements are strictly increasing, so all
+  // copies of a value head distinct runs simultaneously — which makes
+  // pop_pivot's pairwise mod-2 cancellation semantics identical to the
+  // eager heap's.  Claim-time materialization (pop everything that
+  // remains) directly emits the sorted, mod-2-compacted remainder.
+  struct LazyCol {
+    struct Cursor {
+      DiamIdx head;
+      const DiamIdx* pos;  // next element after head (may equal end)
+      const DiamIdx* end;
+    };
+    std::vector<Cursor> cur;                  // min-heap on head
+    std::vector<std::vector<DiamIdx>> owned;  // column-local run storage
+    size_t pops = 0;
+
+    static bool cur_after(const Cursor& a, const Cursor& b) {
+      return ascending(b.head, a.head);  // min-heap via max-comparator
     }
-    void append(const DiamIdx& e) { buf.push_back(e); }
-    void heapify() { std::make_heap(buf.begin(), buf.end(), HeapGreater{}); }
-    bool empty() const { return buf.empty(); }
-    DiamIdx top() const { return buf.front(); }
-    void pop() {
-      std::pop_heap(buf.begin(), buf.end(), HeapGreater{});
-      buf.pop_back();
+    void clear() {
+      cur.clear();
+      owned.clear();
+    }
+    bool empty() const { return cur.empty(); }
+    const DiamIdx& peek() const { return cur.front().head; }
+    DiamIdx pop() {
+      ++pops;
+      std::pop_heap(cur.begin(), cur.end(), cur_after);
+      Cursor& c = cur.back();
+      DiamIdx out = c.head;
+      if (c.pos != c.end) {
+        c.head = *c.pos++;
+        std::push_heap(cur.begin(), cur.end(), cur_after);
+      } else {
+        cur.pop_back();
+      }
+      return out;
+    }
+    // add a sorted ascending run by reference; [b, e) must stay valid
+    // and unmodified for the lifetime of this column (stored remainders
+    // are immutable after storage, so referencing them is safe)
+    void add_sorted_ref(const DiamIdx* b, const DiamIdx* e) {
+      if (b == e) return;
+      cur.push_back({*b, b + 1, e});
+      std::push_heap(cur.begin(), cur.end(), cur_after);
+    }
+    // take ownership of a sorted ascending vector and add it as a run
+    void add_sorted_own(std::vector<DiamIdx>&& v) {
+      if (v.empty()) return;
+      owned.push_back(std::move(v));
+      const std::vector<DiamIdx>& s = owned.back();
+      add_sorted_ref(s.data(), s.data() + s.size());
+    }
+    // single element: the cursor's head IS the storage (pos == end)
+    void add_single(const DiamIdx& e) {
+      cur.push_back({e, nullptr, nullptr});
+      std::push_heap(cur.begin(), cur.end(), cur_after);
+    }
+    // pop the minimal surviving entry mod 2 (equal pairs cancel)
+    bool pop_pivot(DiamIdx& out) {
+      while (!cur.empty()) {
+        DiamIdx t = pop();
+        if (!cur.empty() && cur.front().head.idx == t.idx &&
+            cur.front().head.diam == t.diam) {
+          pop();
+          continue;
+        }
+        out = t;
+        return true;
+      }
+      return false;
+    }
+    // drain the remaining content into a sorted mod-2-compacted vector.
+    // Flat copy + sort + pairwise cancel: the runs' elements are copied
+    // once and sorted contiguously, which beats popping every element
+    // through the cursor heap (the drain is the bulk of all pops — the
+    // reduction itself settles after a tiny prefix of the merge)
+    std::vector<DiamIdx> materialize() {
+      std::vector<DiamIdx> out;
+      size_t total = 0;
+      for (const Cursor& c : cur) total += 1 + (c.end - c.pos);
+      out.reserve(total);
+      for (const Cursor& c : cur) {
+        out.push_back(c.head);
+        out.insert(out.end(), c.pos, c.end);
+      }
+      cur.clear();
+      owned.clear();
+      std::sort(out.begin(), out.end(), ascending);
+      size_t w = 0;
+      for (size_t i = 0; i < out.size();) {
+        if (i + 1 < out.size() && out[i].idx == out[i + 1].idx &&
+            out[i].diam == out[i + 1].diam) {
+          i += 2;  // cancelled mod-2 pair (runs of 2k collapse pairwise)
+          continue;
+        }
+        out[w++] = out[i++];
+      }
+      out.resize(w);
+      out.shrink_to_fit();
+      return out;
     }
   };
 
-  // cancel mod-2 duplicate entries in place (sort, drop equal pairs).
-  // The working coboundary and stored remainders accumulate uncancelled
-  // duplicate pairs; on long reduction chains (100k-point H1) the raw
-  // buffers grow super-quadratically — compaction keeps both the stored
-  // remainders and the live heap at their true mod-2 support size.
-  static void compact_mod2(std::vector<DiamIdx>& v) {
-    std::sort(v.begin(), v.end(), ascending);
-    size_t out = 0;
-    for (size_t i = 0; i < v.size();) {
-      if (i + 1 < v.size() && v[i].idx == v[i + 1].idx &&
-          v[i].diam == v[i + 1].diam) {
-        i += 2;  // cancelled pair (runs of 2k collapse pairwise)
-        continue;
-      }
-      v[out++] = v[i++];
-    }
-    v.resize(out);
-    v.shrink_to_fit();
-  }
-
-  static bool pop_pivot(Heap& heap, DiamIdx& out) {
-    while (!heap.empty()) {
-      DiamIdx top = heap.top();
-      heap.pop();
-      if (!heap.empty() && heap.top().idx == top.idx &&
-          heap.top().diam == top.diam) {
-        heap.pop();
-        continue;
-      }
-      out = top;
+  // seed a lazy column with the sorted raw coboundary of `col`
+  void init_column(LazyCol& h, const DiamIdx col, int p) const {
+    h.clear();
+    std::vector<DiamIdx> cob;
+    enumerate_cofacets(col.idx, col.diam, p,
+                       [&](value_t diam, index_t cidx) {
+      cob.push_back({diam, cidx});
       return true;
-    }
-    return false;
+    });
+    std::sort(cob.begin(), cob.end(), ascending);
+    h.add_sorted_own(std::move(cob));
   }
 
   // one collision step of the reduction: add the owner's column to the
   // working heap after OUR copy of the shared pivot was popped (the two
   // pivot copies cancel mod 2).  Shared verbatim by the sequential
   // reducer, the parallel pre-reducer, and the commit pass.
-  void add_owner(Heap& heap, const DiamIdx& pivot, int64_t owner,
+  // phase-B attribution counters (printed under TDAX_PROF); updated on
+  // the sequential path only — the parallel pre-reducer's copies are
+  // not separated, which is fine for the single-core profile they serve
+  mutable size_t ctr_add_stored_ = 0, ctr_add_raw_ = 0;
+  mutable size_t ctr_stored_elems_ = 0, ctr_raw_pushes_ = 0;
+  mutable size_t ctr_mat_elems_ = 0;
+  mutable double ctr_mat_s_ = 0.0;
+  mutable std::vector<uint8_t> ctr_referenced_;
+
+  void add_owner(LazyCol& h, const DiamIdx& pivot, int64_t owner,
                  const std::vector<DiamIdx>& owner_col_v,
                  const std::vector<std::vector<DiamIdx>>& owner_rem_v,
                  const std::vector<uint8_t>& owner_stored_v, int p) const {
     if (owner_stored_v[owner]) {
-      // W_new = (W \ {pivot}) + (R_owner \ {pivot}): neither re-pushed
+      // W_new = (W \ {pivot}) + (R_owner \ {pivot}): neither re-added.
+      // Stored remainders are sorted, compacted, and immutable — one
+      // zero-copy cursor instead of splicing ~hundreds of elements
       const std::vector<DiamIdx>& rem = owner_rem_v[owner];
-      if (rem.size() > 64) {
-        heap.buf.insert(heap.buf.end(), rem.begin(), rem.end());
-        heap.heapify();  // O(n) beats len(rem) heap pushes
-      } else {
-        for (const DiamIdx& e : rem) heap.push(e);
+      ++ctr_add_stored_;
+      ctr_stored_elems_ += rem.size();
+      if (prof_enabled() && thread_count() == 1) {  // profiling only
+        if (static_cast<size_t>(owner) >= ctr_referenced_.size())
+          ctr_referenced_.resize(owner + 1, 0);
+        ctr_referenced_[owner] = 1;
       }
+      h.add_sorted_ref(rem.data(), rem.data() + rem.size());
     } else {
       // claimed column: R_owner = raw coboundary of its simplex, which
-      // regenerates the pivot — re-push ours so they cancel
-      heap.push(pivot);
+      // regenerates the pivot — re-add ours so they cancel
+      ++ctr_add_raw_;
+      h.add_single(pivot);
+      std::vector<DiamIdx> cob;
       const DiamIdx oc = owner_col_v[owner];
       enumerate_cofacets(oc.idx, oc.diam, p,
                          [&](value_t diam, index_t cidx) {
-        heap.push({diam, cidx});
+        ++ctr_raw_pushes_;
+        cob.push_back({diam, cidx});
         return true;
       });
+      std::sort(cob.begin(), cob.end(), ascending);
+      h.add_sorted_own(std::move(cob));
     }
   }
 
@@ -472,36 +566,23 @@ class SparseRips {
                   const std::vector<DiamIdx>& owner_col_v,
                   const std::vector<std::vector<DiamIdx>>& owner_rem_v,
                   const std::vector<uint8_t>& owner_stored_v,
-                  Heap& heap, PreResult* out) const {
-    heap.clear();
-    enumerate_cofacets(col.idx, col.diam, p, [&](value_t diam, index_t cidx) {
-      heap.append({diam, cidx});
-      return true;
-    });
-    heap.heapify();
-    size_t compact_limit = std::max<size_t>(4096, 2 * heap.buf.size());
+                  LazyCol& h, PreResult* out) const {
+    init_column(h, col, p);
     while (true) {
       DiamIdx pivot;
-      if (!pop_pivot(heap, pivot)) {
+      if (!h.pop_pivot(pivot)) {
         out->kind = 2;
         return;
       }
       int64_t owner = pivots.find(pivot.idx);
       if (owner < 0) {
-        compact_mod2(heap.buf);
         out->kind = 1;
         out->pivot = pivot;
-        out->rem = std::move(heap.buf);
-        heap.buf = std::vector<DiamIdx>();
+        out->rem = h.materialize();
         return;
       }
-      add_owner(heap, pivot, owner, owner_col_v, owner_rem_v,
+      add_owner(h, pivot, owner, owner_col_v, owner_rem_v,
                 owner_stored_v, p);
-      if (heap.buf.size() > compact_limit) {
-        compact_mod2(heap.buf);
-        heap.heapify();
-        compact_limit = std::max<size_t>(4096, 2 * heap.buf.size());
-      }
     }
   }
 
@@ -539,20 +620,48 @@ class SparseRips {
     // reduction chains quadratic.
     std::vector<DiamIdx> owner_col;
     std::vector<std::vector<DiamIdx>> owner_rem;
+    // owner_stored states: 0 = unreduced claim (R = raw coboundary of
+    // the owner's simplex), 1 = materialized remainder in owner_rem,
+    // 2 = FROZEN remainder (sequential mode only): the claim-time
+    // working column kept as-is in frozen_store — ~40% of remainders
+    // are never referenced by a later collision, so the copy + sort +
+    // mod-2 compaction is deferred until first use (memoized to state
+    // 1).  Frozen cursors only ever reference the column's own moved
+    // run storage and ALREADY-materialized owner_rem vectors (an owner
+    // is materialized before add_owner references it), so freezing is
+    // sound; the parallel path never freezes because pre_reduce reads
+    // stored remainders concurrently.
     std::vector<uint8_t> owner_stored;
+    std::vector<int64_t> owner_frozen;  // index into frozen_store (or -1)
+    std::deque<LazyCol> frozen_store;
     owner_col.reserve(columns.size());
     owner_rem.reserve(columns.size());
     owner_stored.reserve(columns.size());
-    Heap heap;
+    owner_frozen.reserve(columns.size());
+    const bool defer_materialize = thread_count() <= 1;
+    LazyCol heap;
 
-    // settle one column whose working heap is populated: claim / bar /
+    auto ensure_materialized = [&](int64_t owner) {
+      if (owner_stored[owner] != 2) return;
+      const bool prof = prof_enabled();
+      auto t0 = prof ? std::chrono::steady_clock::now()
+                     : std::chrono::steady_clock::time_point();
+      owner_rem[owner] = frozen_store[owner_frozen[owner]].materialize();
+      if (prof) {
+        ctr_mat_s_ += std::chrono::duration<double>(
+            std::chrono::steady_clock::now() - t0).count();
+        ctr_mat_elems_ += owner_rem[owner].size();
+      }
+      owner_stored[owner] = 1;
+    };
+
+    // settle one column whose working column is populated: claim / bar /
     // essential against the LIVE state.  Returns after the column is
     // fully settled (the sequential path's inner loop).
-    auto finish_reduction = [&](const DiamIdx col, Heap& h,
-                                size_t compact_limit) {
+    auto finish_reduction = [&](const DiamIdx col, LazyCol& h) {
       while (true) {
         DiamIdx pivot;
-        if (!pop_pivot(h, pivot)) {
+        if (!h.pop_pivot(pivot)) {
           // essential class (legitimate under a finite threshold); owns
           // no pivot, so it never participates in later additions
           bars.push_back({static_cast<int32_t>(p), col.diam, -1.0f});
@@ -560,22 +669,37 @@ class SparseRips {
         }
         int64_t owner = pivots.find(pivot.idx);
         if (owner < 0) {
-          compact_mod2(h.buf);  // store the true mod-2 support only
           owner_col.push_back(col);
-          owner_rem.push_back(std::move(h.buf));  // ≡ R(col) \ {pivot}
-          owner_stored.push_back(1);
-          h.buf = std::vector<DiamIdx>();
+          if (defer_materialize) {
+            // freeze the working column ≡ R(col) \ {pivot}; materialize
+            // lazily on first reference (often never)
+            frozen_store.emplace_back(std::move(h));
+            h = LazyCol();
+            owner_rem.emplace_back();
+            owner_stored.push_back(2);
+            owner_frozen.push_back(
+                static_cast<int64_t>(frozen_store.size() - 1));
+          } else {
+            // drain the merge: sorted + compacted ≡ R(col) \ {pivot}
+            const bool prof = prof_enabled();
+            auto t0 = prof ? std::chrono::steady_clock::now()
+                           : std::chrono::steady_clock::time_point();
+            owner_rem.push_back(h.materialize());
+            if (prof) {
+              ctr_mat_s_ += std::chrono::duration<double>(
+                  std::chrono::steady_clock::now() - t0).count();
+              ctr_mat_elems_ += owner_rem.back().size();
+            }
+            owner_stored.push_back(1);
+            owner_frozen.push_back(-1);
+          }
           pivots.insert(pivot.idx, static_cast<int64_t>(owner_col.size() - 1));
           if (pivot.diam > col.diam)
             bars.push_back({static_cast<int32_t>(p), col.diam, pivot.diam});
           break;
         }
+        ensure_materialized(owner);
         add_owner(h, pivot, owner, owner_col, owner_rem, owner_stored, p);
-        if (h.buf.size() > compact_limit) {
-          compact_mod2(h.buf);
-          h.heapify();
-          compact_limit = std::max<size_t>(4096, 2 * h.buf.size());
-        }
       }
     };
 
@@ -583,6 +707,7 @@ class SparseRips {
       owner_col.push_back(col);
       owner_rem.emplace_back();
       owner_stored.push_back(0);
+      owner_frozen.push_back(-1);
       pivots.insert(pivot_idx, static_cast<int64_t>(owner_col.size() - 1));
     };
 
@@ -603,7 +728,7 @@ class SparseRips {
       for (size_t b0 = 0; b0 < columns.size(); b0 += kBlock) {
         const size_t b1 = std::min(columns.size(), b0 + kBlock);
         run_chunks(b1 - b0, 4, [&](size_t lo, size_t hi) {
-          Heap h;
+          LazyCol h;
           for (size_t i = lo; i < hi; ++i) {
             const size_t ci = b0 + i;
             pre[i].rem.clear();
@@ -637,15 +762,8 @@ class SparseRips {
             // lost the candidate to an earlier in-block column: run the
             // full reduction inline (rare)
             ++n_full;
-            heap.clear();
-            enumerate_cofacets(col.idx, col.diam, p,
-                               [&](value_t diam, index_t cidx) {
-              heap.append({diam, cidx});
-              return true;
-            });
-            heap.heapify();
-            finish_reduction(col, heap,
-                             std::max<size_t>(4096, 2 * heap.buf.size()));
+            init_column(heap, col, p);
+            finish_reduction(col, heap);
             continue;
           }
           ++n_full;
@@ -661,6 +779,7 @@ class SparseRips {
             owner_col.push_back(col);
             owner_rem.push_back(std::move(pre[i].rem));  // ≡ R(col)\{pivot}
             owner_stored.push_back(1);
+            owner_frozen.push_back(-1);
             pre[i].rem = std::vector<DiamIdx>();
             pivots.insert(pivot.idx,
                           static_cast<int64_t>(owner_col.size() - 1));
@@ -669,14 +788,13 @@ class SparseRips {
             continue;
           }
           // stopping pivot got claimed within the block: resume from the
-          // pre-reduced remainder
-          heap.buf = std::move(pre[i].rem);
+          // pre-reduced remainder (sorted + compacted by materialize)
+          heap.clear();
+          heap.add_sorted_own(std::move(pre[i].rem));
           pre[i].rem = std::vector<DiamIdx>();
-          heap.heapify();
           add_owner(heap, pivot, owner, owner_col, owner_rem, owner_stored,
                     p);
-          finish_reduction(col, heap,
-                           std::max<size_t>(4096, 2 * heap.buf.size()));
+          finish_reduction(col, heap);
         }
       }
     } else {
@@ -693,22 +811,33 @@ class SparseRips {
         }
         ++n_full;
 
-        heap.clear();
-        enumerate_cofacets(col.idx, col.diam, p,
-                           [&](value_t diam, index_t cidx) {
-          heap.append({diam, cidx});
-          return true;
-        });
-        heap.heapify();
-        finish_reduction(col, heap,
-                         std::max<size_t>(4096, 2 * heap.buf.size()));
+        init_column(heap, col, p);
+        finish_reduction(col, heap);
       }
     }
-    if (prof_enabled())
+    if (prof_enabled()) {
       fprintf(stderr,
               "[tdax_sparse] dim %d: %zu cols = %zu apparent + %zu emergent "
               "+ %zu full\n",
               p, columns.size(), n_apparent, n_emergent, n_full);
+      fprintf(stderr,
+              "[tdax_sparse] dim %d chains: add_owner stored=%zu "
+              "(elems %zu) raw=%zu (pushes %zu) heap_pops=%zu\n",
+              p, ctr_add_stored_, ctr_stored_elems_, ctr_add_raw_,
+              ctr_raw_pushes_, heap.pops);
+      size_t n_ref = 0;
+      for (uint8_t b : ctr_referenced_) n_ref += b;
+      fprintf(stderr,
+              "[tdax_sparse] dim %d materialize: %.3fs, %zu elems stored, "
+              "%zu/%zu owners ever referenced\n",
+              p, ctr_mat_s_, ctr_mat_elems_, n_ref, owner_col.size());
+      heap.pops = 0;
+      ctr_add_stored_ = ctr_add_raw_ = 0;
+      ctr_stored_elems_ = ctr_raw_pushes_ = 0;
+      ctr_mat_elems_ = 0;
+      ctr_mat_s_ = 0.0;
+      ctr_referenced_.clear();
+    }
   }
 
   // --- clearing: next dimension's columns -------------------------------------
