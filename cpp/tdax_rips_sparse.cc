@@ -400,7 +400,6 @@ class SparseRips {
     };
     std::vector<Cursor> cur;                  // min-heap on head
     std::vector<std::vector<DiamIdx>> owned;  // column-local run storage
-    size_t pops = 0;
 
     static bool cur_after(const Cursor& a, const Cursor& b) {
       return ascending(b.head, a.head);  // min-heap via max-comparator
@@ -412,7 +411,6 @@ class SparseRips {
     bool empty() const { return cur.empty(); }
     const DiamIdx& peek() const { return cur.front().head; }
     DiamIdx pop() {
-      ++pops;
       std::pop_heap(cur.begin(), cur.end(), cur_after);
       Cursor& c = cur.back();
       DiamIdx out = c.head;
@@ -822,16 +820,15 @@ class SparseRips {
               p, columns.size(), n_apparent, n_emergent, n_full);
       fprintf(stderr,
               "[tdax_sparse] dim %d chains: add_owner stored=%zu "
-              "(elems %zu) raw=%zu (pushes %zu) heap_pops=%zu\n",
+              "(elems %zu) raw=%zu (pushes %zu)\n",
               p, ctr_add_stored_, ctr_stored_elems_, ctr_add_raw_,
-              ctr_raw_pushes_, heap.pops);
+              ctr_raw_pushes_);
       size_t n_ref = 0;
       for (uint8_t b : ctr_referenced_) n_ref += b;
       fprintf(stderr,
               "[tdax_sparse] dim %d materialize: %.3fs, %zu elems stored, "
               "%zu/%zu owners ever referenced\n",
               p, ctr_mat_s_, ctr_mat_elems_, n_ref, owner_col.size());
-      heap.pops = 0;
       ctr_add_stored_ = ctr_add_raw_ = 0;
       ctr_stored_elems_ = ctr_raw_pushes_ = 0;
       ctr_mat_elems_ = 0;
