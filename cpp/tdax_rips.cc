@@ -237,18 +237,46 @@ class RipsEngine {
     return binom_(j, 2) + i;
   }
 
+  // largest v <= hi with binom(v, k) <= idx, seeded by the closed-form
+  // float inversion of v^k/k! ~= idx with integer fix-up loops (exact;
+  // the float seed is off by at most a step or two) — replaces the
+  // ~17-iteration binary search, which decode runs per column per
+  // dimension (see the sparse engine for the measured impact at scale).
+  inline index_t max_vertex(index_t idx, int k, index_t hi) const {
+    index_t v;
+    switch (k) {
+      case 1:
+        v = idx < hi ? idx : hi;
+        break;
+      case 2:
+        v = static_cast<index_t>(
+            (1.0 + std::sqrt(1.0 + 8.0 * static_cast<double>(idx))) * 0.5);
+        break;
+      case 3:
+        v = static_cast<index_t>(
+            std::cbrt(6.0 * static_cast<double>(idx)) + 1.0);
+        break;
+      default: {  // k == 4 (H3 columns): plain binary search
+        index_t lo = k - 1;  // binom(k-1, k) == 0 <= idx always holds
+        while (lo < hi) {
+          index_t mid = (lo + hi + 1) >> 1;
+          if (binom_(mid, k) <= idx) lo = mid; else hi = mid - 1;
+        }
+        return lo;
+      }
+    }
+    if (v > hi) v = hi;
+    if (v < k - 1) v = k - 1;
+    while (binom_(v, k) > idx) --v;          // float seed may overshoot
+    while (v < hi && binom_(v + 1, k) <= idx) ++v;  // or undershoot
+    return v;
+  }
+
   void decode(index_t idx, int dim, index_t* verts) const {
-    // verts filled descending: verts[0] = largest vertex.  Binary search
-    // for the largest v with binom(v, k) <= idx (binom is monotone in v)
-    // — the naive downward scan is O(n) per vertex and dominated the
-    // whole engine at n >= 4k.
+    // verts filled descending: verts[0] = largest vertex
     index_t hi = n_ - 1;
     for (int k = dim + 1; k > 0; --k) {
-      index_t lo = k - 1;  // binom(k-1, k) == 0 <= idx always holds
-      while (lo < hi) {
-        index_t mid = (lo + hi + 1) >> 1;
-        if (binom_(mid, k) <= idx) lo = mid; else hi = mid - 1;
-      }
+      index_t lo = max_vertex(idx, k, hi);
       verts[dim + 1 - k] = lo;
       idx -= binom_(lo, k);
       hi = lo - 1;

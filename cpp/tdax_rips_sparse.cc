@@ -177,14 +177,45 @@ class SparseRips {
     return binom_(j, 2) + i;
   }
 
+  // largest v <= hi with binom(v, k) <= idx.  Seeded by the closed-form
+  // float inversion of v^k/k! ~= idx (exactness restored by the integer
+  // fix-up loops), which replaces the ~17-iteration binary search that
+  // dominated the per-column candidate scans at scale: decode runs for
+  // every column of every dimension (10M+ triangles at 100k points).
+  inline index_t max_vertex(index_t idx, int k, index_t hi) const {
+    index_t v;
+    switch (k) {
+      case 1:
+        v = idx < hi ? idx : hi;
+        break;
+      case 2:
+        v = static_cast<index_t>(
+            (1.0 + std::sqrt(1.0 + 8.0 * static_cast<double>(idx))) * 0.5);
+        break;
+      case 3:
+        v = static_cast<index_t>(
+            std::cbrt(6.0 * static_cast<double>(idx)) + 1.0);
+        break;
+      default: {  // k == 4 (maxdim 3 headroom): plain binary search
+        index_t lo = k - 1;
+        while (lo < hi) {
+          index_t mid = (lo + hi + 1) >> 1;
+          if (binom_(mid, k) <= idx) lo = mid; else hi = mid - 1;
+        }
+        return lo;
+      }
+    }
+    if (v > hi) v = hi;
+    if (v < k - 1) v = k - 1;
+    while (binom_(v, k) > idx) --v;          // float seed may overshoot
+    while (v < hi && binom_(v + 1, k) <= idx) ++v;  // or undershoot
+    return v;
+  }
+
   void decode(index_t idx, int dim, index_t* verts) const {
     index_t hi = n_ - 1;
     for (int k = dim + 1; k > 0; --k) {
-      index_t lo = k - 1;
-      while (lo < hi) {
-        index_t mid = (lo + hi + 1) >> 1;
-        if (binom_(mid, k) <= idx) lo = mid; else hi = mid - 1;
-      }
+      index_t lo = max_vertex(idx, k, hi);
       verts[dim + 1 - k] = lo;
       idx -= binom_(lo, k);
       hi = lo - 1;
