@@ -488,33 +488,61 @@ class SparseRips {
       return false;
     }
     // drain the remaining content into a sorted mod-2-compacted vector.
-    // Flat copy + sort + pairwise cancel: the runs' elements are copied
-    // once and sorted contiguously, which beats popping every element
-    // through the cursor heap (the drain is the bulk of all pops — the
-    // reduction itself settles after a tiny prefix of the merge)
+    // The content is already a set of SORTED runs, so shortest-first
+    // pairwise std::merge costs ~n log k sequential comparisons versus
+    // the n log n of re-sorting a flat copy (k = live runs, typically
+    // single digits; a backed cursor's full remaining run is the
+    // contiguous [pos-1, end) since head == *(pos-1), and the single-
+    // element pivots form one ascending run of their own because pops
+    // strictly increase along a chain).  Mod-2 cancellation happens in
+    // the final copy pass — equal entries are adjacent after merging.
     std::vector<DiamIdx> materialize() {
-      std::vector<DiamIdx> out;
-      size_t total = 0;
-      for (const Cursor& c : cur) total += 1 + (c.end - c.pos);
-      out.reserve(total);
+      struct Run {
+        const DiamIdx* b;
+        const DiamIdx* e;
+        size_t len() const { return static_cast<size_t>(e - b); }
+      };
+      std::vector<Run> runs;
+      std::vector<DiamIdx> singles;
+      runs.reserve(cur.size());
       for (const Cursor& c : cur) {
-        out.push_back(c.head);
-        out.insert(out.end(), c.pos, c.end);
+        if (c.pos == nullptr) singles.push_back(c.head);
+        else runs.push_back({c.pos - 1, c.end});
+      }
+      std::sort(singles.begin(), singles.end(), ascending);  // insurance
+      if (!singles.empty())
+        runs.push_back({singles.data(), singles.data() + singles.size()});
+      std::deque<std::vector<DiamIdx>> scratch;
+      while (runs.size() > 1) {
+        // merge the two shortest runs (Huffman order minimizes total work)
+        size_t a = 0, b = 1;
+        if (runs[b].len() < runs[a].len()) std::swap(a, b);
+        for (size_t i = 2; i < runs.size(); ++i) {
+          if (runs[i].len() < runs[a].len()) { b = a; a = i; }
+          else if (runs[i].len() < runs[b].len()) b = i;
+        }
+        scratch.emplace_back(runs[a].len() + runs[b].len());
+        std::vector<DiamIdx>& m = scratch.back();
+        std::merge(runs[a].b, runs[a].e, runs[b].b, runs[b].e, m.begin(),
+                   ascending);
+        runs[a] = {m.data(), m.data() + m.size()};
+        runs.erase(runs.begin() + b);
+      }
+      std::vector<DiamIdx> out;
+      if (!runs.empty()) {
+        const Run r = runs[0];
+        out.reserve(r.len());
+        for (const DiamIdx* i = r.b; i != r.e;) {
+          if (i + 1 != r.e && i->idx == (i + 1)->idx &&
+              i->diam == (i + 1)->diam) {
+            i += 2;  // cancelled mod-2 pair (runs of 2k collapse pairwise)
+            continue;
+          }
+          out.push_back(*i++);
+        }
       }
       cur.clear();
       owned.clear();
-      std::sort(out.begin(), out.end(), ascending);
-      size_t w = 0;
-      for (size_t i = 0; i < out.size();) {
-        if (i + 1 < out.size() && out[i].idx == out[i + 1].idx &&
-            out[i].diam == out[i + 1].diam) {
-          i += 2;  // cancelled mod-2 pair (runs of 2k collapse pairwise)
-          continue;
-        }
-        out[w++] = out[i++];
-      }
-      out.resize(w);
-      out.shrink_to_fit();
       return out;
     }
   };
