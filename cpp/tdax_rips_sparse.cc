@@ -284,9 +284,39 @@ class SparseRips {
   // Common neighbors of the simplex's vertices in ascending w, with the
   // cofacet diameter accumulated from the merged row values.
 
+  // tight two-pointer intersect for the dominant 2-vertex case (edge
+  // columns' cofacets, triangle assembly): same visit contract as the
+  // generic merge below, without its per-iteration count loops
+  template <typename Visit>
+  void common_neighbors2(index_t a, index_t b, value_t sdiam,
+                         Visit&& visit) const {
+    const int32_t* ia = indices_ + indptr_[a];
+    const int32_t* ea = indices_ + indptr_[a + 1];
+    const int32_t* ib = indices_ + indptr_[b];
+    const int32_t* eb = indices_ + indptr_[b + 1];
+    const float* va = data_ + indptr_[a];
+    const float* vb = data_ + indptr_[b];
+    while (ia != ea && ib != eb) {
+      const int32_t ca = *ia, cb = *ib;
+      if (ca < cb) { ++ia; continue; }
+      if (cb < ca) { ++ib; continue; }
+      value_t diam = std::max(
+          sdiam, std::max(va[ia - (indices_ + indptr_[a])],
+                          vb[ib - (indices_ + indptr_[b])]));
+      if (!visit(diam, static_cast<index_t>(ca))) return;
+      ++ia;
+      ++ib;
+    }
+  }
+
   template <typename Visit>
   void for_common_neighbors(const index_t* verts, int count, value_t sdiam,
                             Visit&& visit) const {
+    if (count == 2) {
+      common_neighbors2(verts[0], verts[1], sdiam,
+                        static_cast<Visit&&>(visit));
+      return;
+    }
     const int32_t* it[5];
     const int32_t* end[5];
     const float* val[5];
