@@ -229,3 +229,19 @@ def test_select_threshold_matches_host_reference():
     d = pairwise_euclidean_np(x).astype(np.float32)[rows]
     kth = np.partition(d, k, axis=1)[:, k]
     assert abs(t - float(np.median(kth))) <= 1e-4 * float(np.median(kth))
+
+
+@pytest.mark.parametrize("fused", [True, False])
+def test_scale_sparse_raises_on_row_budget_truncation(fused):
+    """Completeness is never silently traded: a row with more
+    in-threshold neighbors than the per-row budget must raise, on both
+    the fused and the blocked extraction paths."""
+    from tdax.pipeline.scale import rips_at_scale_sparse
+    rng = np.random.default_rng(3)
+    # one tight cluster: every point has n-1 in-threshold neighbors,
+    # far beyond target_degree * headroom
+    x = (rng.normal(size=(60, 8)) * 1e-3).astype(np.float32)
+    kwargs = {} if fused else {"fused_max": 0, "block_rows": 32}
+    with pytest.raises(ValueError, match="degree_headroom"):
+        rips_at_scale_sparse(x, maxdim=1, target_degree=8,
+                             degree_headroom=1.0, **kwargs)
