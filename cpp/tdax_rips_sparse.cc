@@ -309,11 +309,49 @@ class SparseRips {
     }
   }
 
+  // unrolled 3-row merge (triangle columns' cofacet scans at p = 2)
+  template <typename Visit>
+  void common_neighbors3(index_t a, index_t b, index_t c, value_t sdiam,
+                         Visit&& visit) const {
+    const int32_t* ia = indices_ + indptr_[a];
+    const int32_t* ea = indices_ + indptr_[a + 1];
+    const int32_t* ib = indices_ + indptr_[b];
+    const int32_t* eb = indices_ + indptr_[b + 1];
+    const int32_t* ic = indices_ + indptr_[c];
+    const int32_t* ec = indices_ + indptr_[c + 1];
+    const float* va = data_ + indptr_[a];
+    const float* vb = data_ + indptr_[b];
+    const float* vc = data_ + indptr_[c];
+    if (ia == ea || ib == eb || ic == ec) return;
+    while (true) {
+      int32_t w = *ia;
+      if (*ib > w) w = *ib;
+      if (*ic > w) w = *ic;
+      while (*ia < w) { if (++ia == ea) return; }
+      while (*ib < w) { if (++ib == eb) return; }
+      while (*ic < w) { if (++ic == ec) return; }
+      if (*ia == w && *ib == w && *ic == w) {
+        value_t diam = std::max(va[ia - (indices_ + indptr_[a])],
+                                vb[ib - (indices_ + indptr_[b])]);
+        diam = std::max(diam, vc[ic - (indices_ + indptr_[c])]);
+        diam = std::max(diam, sdiam);
+        if (!visit(diam, static_cast<index_t>(w))) return;
+        if (++ia == ea || ++ib == eb || ++ic == ec) return;
+      }
+      // else: some pointer advanced past w — recompute the new max
+    }
+  }
+
   template <typename Visit>
   void for_common_neighbors(const index_t* verts, int count, value_t sdiam,
                             Visit&& visit) const {
     if (count == 2) {
       common_neighbors2(verts[0], verts[1], sdiam,
+                        static_cast<Visit&&>(visit));
+      return;
+    }
+    if (count == 3) {
+      common_neighbors3(verts[0], verts[1], verts[2], sdiam,
                         static_cast<Visit&&>(visit));
       return;
     }
