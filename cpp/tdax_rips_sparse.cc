@@ -640,6 +640,8 @@ class SparseRips {
   mutable size_t ctr_mat_elems_ = 0;
   mutable double ctr_mat_s_ = 0.0;
   mutable std::vector<uint8_t> ctr_referenced_;
+  mutable std::vector<uint8_t> ctr_raw_ref_;
+  mutable size_t ctr_raw_repeat_ = 0;
 
   void add_owner(LazyCol& h, const DiamIdx& pivot, int64_t owner,
                  const std::vector<DiamIdx>& owner_col_v,
@@ -662,6 +664,12 @@ class SparseRips {
       // claimed column: R_owner = raw coboundary of its simplex, which
       // regenerates the pivot — re-add ours so they cancel
       ++ctr_add_raw_;
+      if (prof_enabled() && thread_count() == 1) {  // profiling only
+        if (static_cast<size_t>(owner) >= ctr_raw_ref_.size())
+          ctr_raw_ref_.resize(owner + 1, 0);
+        if (ctr_raw_ref_[owner]) ++ctr_raw_repeat_;
+        ctr_raw_ref_[owner] = 1;
+      }
       h.add_single(pivot);
       std::vector<DiamIdx> cob;
       const DiamIdx oc = owner_col_v[owner];
@@ -954,13 +962,16 @@ class SparseRips {
       for (uint8_t b : ctr_referenced_) n_ref += b;
       fprintf(stderr,
               "[tdax_sparse] dim %d materialize: %.3fs, %zu elems stored, "
-              "%zu/%zu owners ever referenced\n",
-              p, ctr_mat_s_, ctr_mat_elems_, n_ref, owner_col.size());
+              "%zu/%zu owners ever referenced, raw repeats %zu\n",
+              p, ctr_mat_s_, ctr_mat_elems_, n_ref, owner_col.size(),
+              ctr_raw_repeat_);
       ctr_add_stored_ = ctr_add_raw_ = 0;
       ctr_stored_elems_ = ctr_raw_pushes_ = 0;
       ctr_mat_elems_ = 0;
       ctr_mat_s_ = 0.0;
       ctr_referenced_.clear();
+      ctr_raw_ref_.clear();
+      ctr_raw_repeat_ = 0;
     }
   }
 
