@@ -138,11 +138,15 @@ def _fused_extract_small(xj, n: int, target_degree: int, sample: int,
         vals = -neg_vals
         keep = vals <= t
         counts, prefix_ok = _prefix_counts(keep, k)
+        # kept columns sorted by column id ON device (dropped slots pushed
+        # past the prefix by the n sentinel): the host assembles the CSR
+        # by pure concatenation — no lexsort of the full edge list
+        cols = jnp.sort(jnp.where(keep, idx, n), axis=1)
         # completeness: a row whose k-th smallest is still within the
         # threshold was truncated (k == n-1 holds every neighbor, so
         # truncation is impossible there)
         truncated = jnp.sum(vals[:, -1] <= t) if k < n - 1 else jnp.int32(0)
-        return idx, counts, prefix_ok, truncated, t
+        return cols, counts, prefix_ok, truncated, t
 
     return fused(xj, budget)
 
@@ -280,7 +284,8 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
                 f"{int(truncated)} rows have >= {row_budget} neighbors "
                 f"within the threshold; raise degree_headroom")
         thresh = float(t)
-        r, c = _edges_from_prefix(np.asarray(idx), np.asarray(counts),
+        counts = np.asarray(counts)
+        r, c = _edges_from_prefix(np.asarray(idx), counts,
                                   bool(prefix_ok), row0=0,
                                   budget=row_budget)
         timings["extract_s"] = time.time() - t0
@@ -290,13 +295,10 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
         timings["refine_s"] = time.time() - t0
 
         t0 = time.time()
-        # rows arrive in order but within a row the k-smallest is
-        # value-sorted; the CSR engine needs column-sorted rows
-        order = np.lexsort((c, r))
-        r, c, v = r[order], c[order], v[order]
+        # rows arrive in row order with columns sorted ON device — the
+        # CSR is a pure concatenation, indptr a cumsum of the counts
         indptr = np.zeros(n + 1, dtype=np.int64)
-        np.add.at(indptr, r + 1, 1)
-        np.cumsum(indptr, out=indptr)
+        indptr[1:] = np.cumsum(counts, dtype=np.int64)
         timings["csr_s"] = time.time() - t0
 
         t0 = time.time()
@@ -333,10 +335,13 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
         vals = -neg_vals
         keep = vals <= t
         counts, prefix_ok = _prefix_counts(keep, k)
+        # kept columns sorted by column id ON device (dropped slots pushed
+        # past the prefix by the n sentinel) — see the fused path
+        cols = jnp.sort(jnp.where(keep, idx, x_full.shape[0]), axis=1)
         # completeness: the k-th smallest must exceed the threshold,
         # else this row was truncated
         truncated = jnp.sum(vals[:, -1] <= t)
-        return idx, counts, prefix_ok, truncated
+        return cols, counts, prefix_ok, truncated
 
     # dispatch every block before fetching any: JAX dispatch is async, so
     # the device pipeline hides per-dispatch relay latency behind compute
@@ -359,7 +364,7 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
     timings["dispatch_s"] = time.time() - t0
     _v(f"{len(pending)} blocks dispatched in {timings['dispatch_s']:.1f}s")
 
-    rs, cs = [], []
+    rs, cs, cnts = [], [], []
     for row0, hi, (idx, counts, prefix_ok, truncated) in pending:
         if int(truncated):
             raise ValueError(
@@ -367,31 +372,28 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
                 f"{row_budget} neighbors within the threshold; raise "
                 f"degree_headroom")
         m = hi - row0
-        rb, cb = _edges_from_prefix(np.asarray(idx)[:m],
-                                    np.asarray(counts)[:m],
+        counts_m = np.asarray(counts)[:m]
+        rb, cb = _edges_from_prefix(np.asarray(idx)[:m], counts_m,
                                     bool(prefix_ok), row0=row0,
                                     budget=row_budget)
         rs.append(rb)
         cs.append(cb)
+        cnts.append(counts_m)
         _v(f"block {row0} fetched at +{time.time() - t0:.1f}s")
     timings["extract_s"] = time.time() - t0
 
     t0 = time.time()
     r = np.concatenate(rs)
     c = np.concatenate(cs)
-    # overlap: the refinement runs on device while the host lexsorts —
-    # the CSR order depends only on (r, c), not on the values
+    # overlap: the refinement runs on device while the host assembles
+    # the (trivial) indptr — blocks arrive in row order with columns
+    # sorted ON device, so the CSR is a pure concatenation
     v_dev = _refine_edge_values(xj, r, c, as_device=True)
-    # rows arrive in order but within a row the top-k is value-sorted;
-    # the CSR engine needs column-sorted rows
-    order = np.lexsort((c, r))
-    r, c = r[order], c[order]
     indptr = np.zeros(n + 1, dtype=np.int64)
-    np.add.at(indptr, r + 1, 1)
-    np.cumsum(indptr, out=indptr)
+    indptr[1:] = np.cumsum(np.concatenate(cnts), dtype=np.int64)
     timings["csr_s"] = time.time() - t0
     t0 = time.time()
-    v = v_dev()[order]
+    v = v_dev()
     timings["refine_s"] = time.time() - t0
     _v(f"CSR built ({len(c) // 2} edges) + refine overlap in "
        f"{timings['csr_s'] + timings['refine_s']:.1f}s")
