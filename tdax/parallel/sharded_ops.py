@@ -67,3 +67,71 @@ def sharded_knn(x: jnp.ndarray, k: int, mesh: Mesh, axis: str = "dp",
     xf = jax.device_put(x, NamedSharding(mesh, P()))
     idx, dists = jax.jit(fn, static_argnames=())(xs, xf)
     return np.asarray(idx), np.asarray(dists)
+
+
+def sharded_edge_extract(x: jnp.ndarray, thresh: float, row_budget: int,
+                         mesh: Mesh, axis: str = "dp",
+                         chunk: int = 2048):
+    """Thresholded-edge extraction for the sparse scale path, row-sharded
+    over the mesh: each device computes expansion-form distances for its
+    row shard against the replicated cloud (inner-chunked to bound the
+    live [chunk, n] block), keeps the per-row k smallest within the
+    threshold, and emits the kept columns SORTED by column id plus the
+    per-row counts — the same contract as the single-device blocked
+    extraction in tdax.pipeline.scale, so the host CSR assembly is a
+    pure concatenation either way.
+
+    Rows are padded (with copies of row 0) to a multiple of
+    axis_size * chunk; padded rows are sliced off host-side and excluded
+    from the truncation check.  Returns host-side
+    (cols [n, row_budget] int32, counts [n] int32, n_truncated int).
+    """
+    import math
+
+    n, _ = x.shape
+    p = mesh.shape[axis]
+    c = min(chunk, max(1, n // p) or 1)
+    n_pad = math.ceil(n / (p * c)) * (p * c)
+    xs = jnp.concatenate([x, jnp.broadcast_to(x[0], (n_pad - n,) + x.shape[1:])]) \
+        if n_pad > n else x
+    k = row_budget
+
+    def block(x_rows, x_full):
+        m = x_rows.shape[0]
+        row0 = jax.lax.axis_index(axis) * m
+        sq_f = jnp.sum(x_full * x_full, axis=1)
+
+        def one(chunk_rows_and_idx):
+            xr, c0 = chunk_rows_and_idx
+            sq_r = jnp.sum(xr * xr, axis=1, keepdims=True)
+            d2 = sq_r + sq_f[None, :] - 2.0 * jnp.dot(
+                xr, x_full.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            d = jnp.sqrt(jnp.maximum(d2, 0.0))
+            rows_abs = row0 + c0 * c + jnp.arange(c)[:, None]
+            cols_iota = jnp.arange(x_full.shape[0])[None, :]
+            d = jnp.where(rows_abs == cols_iota, jnp.inf, d)
+            neg_vals, idx = jax.lax.approx_max_k(-d, k, recall_target=1.0)
+            vals = -neg_vals
+            keep = vals <= jnp.float32(thresh)
+            counts = jnp.sum(keep, axis=1, dtype=jnp.int32)
+            cols = jnp.sort(jnp.where(keep, idx, x_full.shape[0]), axis=1)
+            valid = rows_abs[:, 0] < n  # padded rows don't count
+            trunc = (vals[:, -1] <= jnp.float32(thresh)) & valid
+            return cols, counts, trunc
+
+        xc = x_rows.reshape(m // c, c, x_rows.shape[1])
+        cols, counts, trunc = jax.lax.map(
+            one, (xc, jnp.arange(m // c, dtype=jnp.int32)))
+        return (cols.reshape(m, k), counts.reshape(m),
+                trunc.reshape(m))
+
+    fn = shard_map(block, mesh=mesh,
+                   in_specs=(P(axis, None), P(None, None)),
+                   out_specs=(P(axis, None), P(axis), P(axis)))
+    xsh = jax.device_put(xs, NamedSharding(mesh, P(axis, None)))
+    xf = jax.device_put(xs[:n] if n_pad > n else xs,
+                        NamedSharding(mesh, P()))
+    cols, counts, trunc = jax.jit(fn)(xsh, xf)
+    return (np.asarray(cols)[:n], np.asarray(counts)[:n],
+            int(np.asarray(trunc).sum()))

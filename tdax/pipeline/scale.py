@@ -317,6 +317,30 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
     # neighbors raises (completeness is never silently traded)
     row_budget = int(target_degree * degree_headroom)
 
+    if mesh is not None:
+        # row-sharded extraction over the device mesh: each device
+        # computes its row shard against the replicated cloud — the
+        # scale path's device-heavy stage rides ICI instead of looping
+        # blocks on one chip.  Same output contract (column-sorted kept
+        # prefixes + counts), so the CSR tail below is shared.
+        from tdax.parallel.sharded_ops import sharded_edge_extract
+        t0 = time.time()
+        axis = "dp" if "dp" in mesh.shape else list(mesh.shape)[0]
+        cols_all, counts_all, n_trunc = sharded_edge_extract(
+            xj, thresh, row_budget, mesh, axis=axis,
+            chunk=min(block_rows, 2048))
+        if n_trunc:
+            raise ValueError(
+                f"{n_trunc} rows have >= {row_budget} neighbors within "
+                f"the threshold; raise degree_headroom")
+        r, c = _edges_from_prefix(cols_all, counts_all, True, row0=0,
+                                  budget=row_budget)
+        cnts = [counts_all]
+        timings["extract_s"] = time.time() - t0
+        _v(f"mesh extraction ({mesh.shape}) in {timings['extract_s']:.1f}s")
+        return _sparse_csr_tail(xj, n, r, c, cnts, thresh, maxdim,
+                                timings, _v)
+
     @functools.partial(jax.jit, static_argnames=("k",))
     def extract_block(x_rows, x_full, row0, t, k):
         sq_r = jnp.sum(x_rows * x_rows, axis=1, keepdims=True)
@@ -382,12 +406,22 @@ def rips_at_scale_sparse(x: np.ndarray, maxdim: int = 2,
         _v(f"block {row0} fetched at +{time.time() - t0:.1f}s")
     timings["extract_s"] = time.time() - t0
 
-    t0 = time.time()
     r = np.concatenate(rs)
     c = np.concatenate(cs)
-    # overlap: the refinement runs on device while the host assembles
-    # the (trivial) indptr — blocks arrive in row order with columns
-    # sorted ON device, so the CSR is a pure concatenation
+    return _sparse_csr_tail(xj, n, r, c, cnts, thresh, maxdim, timings, _v)
+
+
+def _sparse_csr_tail(xj, n: int, r: np.ndarray, c: np.ndarray, cnts,
+                     thresh: float, maxdim: int, timings: dict, _v) -> dict:
+    """Shared CSR-assembly + engine tail of the sparse scale path: the
+    refinement runs on device while the host assembles the (trivial)
+    indptr — rows arrive in order with columns sorted ON device, so the
+    CSR is a pure concatenation."""
+    import time
+
+    from tdax.ops.rips.sparse import rips_sparse
+
+    t0 = time.time()
     v_dev = _refine_edge_values(xj, r, c, as_device=True)
     indptr = np.zeros(n + 1, dtype=np.int64)
     indptr[1:] = np.cumsum(np.concatenate(cnts), dtype=np.int64)

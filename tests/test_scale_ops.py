@@ -245,3 +245,49 @@ def test_scale_sparse_raises_on_row_budget_truncation(fused):
     with pytest.raises(ValueError, match="degree_headroom"):
         rips_at_scale_sparse(x, maxdim=1, target_degree=8,
                              degree_headroom=1.0, **kwargs)
+
+
+def test_rips_at_scale_sparse_mesh_matches_single_device():
+    """Mesh-sharded edge extraction (rows over dp) must reproduce the
+    single-device blocked path: same filtration, same diagrams."""
+    from tdax.ops.rips import native
+    if not native.available():
+        pytest.skip("native engine not built")
+    from tdax.pipeline.scale import rips_at_scale_sparse
+    mesh = make_mesh(dp=8, tp=1)
+    rng = np.random.default_rng(21)
+    z = rng.normal(size=(100, 4))
+    z /= np.linalg.norm(z, axis=1, keepdims=True)
+    x = (z @ rng.normal(size=(4, 32))).astype(np.float32)
+    a = rips_at_scale_sparse(x, maxdim=1, target_degree=25, fused_max=0,
+                             block_rows=100)
+    b = rips_at_scale_sparse(x, maxdim=1, target_degree=25, fused_max=0,
+                             block_rows=100, mesh=mesh)
+    assert a["n_edges"] == b["n_edges"]
+    assert abs(a["thresh"] - b["thresh"]) < 1e-6
+    for p in range(2):
+        np.testing.assert_allclose(
+            np.where(np.isfinite(a["dgms"][p]), a["dgms"][p], -1),
+            np.where(np.isfinite(b["dgms"][p]), b["dgms"][p], -1),
+            atol=1e-5)
+
+
+def test_rips_at_scale_sparse_mesh_padded_rows():
+    """n not divisible by the mesh axis: padded rows must be dropped."""
+    from tdax.ops.rips import native
+    if not native.available():
+        pytest.skip("native engine not built")
+    from tdax.pipeline.scale import rips_at_scale_sparse
+    mesh = make_mesh(dp=8, tp=1)
+    rng = np.random.default_rng(22)
+    x = rng.normal(size=(93, 16)).astype(np.float32)  # 93 % 8 != 0
+    a = rips_at_scale_sparse(x, maxdim=1, target_degree=20, fused_max=0,
+                             block_rows=93)
+    b = rips_at_scale_sparse(x, maxdim=1, target_degree=20, fused_max=0,
+                             block_rows=93, mesh=mesh)
+    assert a["n_edges"] == b["n_edges"]
+    for p in range(2):
+        np.testing.assert_allclose(
+            np.where(np.isfinite(a["dgms"][p]), a["dgms"][p], -1),
+            np.where(np.isfinite(b["dgms"][p]), b["dgms"][p], -1),
+            atol=1e-5)
