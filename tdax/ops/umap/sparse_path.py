@@ -243,16 +243,15 @@ def pca_init(x: jnp.ndarray, n_components: int, key: jax.Array) -> jnp.ndarray:
     return (emb + noise).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "n_epochs",
-                                             "negative_sample_rate"))
-def optimize_layout_edges(init: jnp.ndarray,
-                          head: jnp.ndarray, tail: jnp.ndarray,
-                          w: jnp.ndarray,
-                          n: int, n_epochs: int, key: jax.Array,
-                          a: float, b: float,
-                          gamma: float = 1.0,
-                          initial_alpha: float = 1.0,
-                          negative_sample_rate: int = 5) -> jnp.ndarray:
+def _layout_edges_impl(init: jnp.ndarray,
+                       head: jnp.ndarray, tail: jnp.ndarray,
+                       w: jnp.ndarray,
+                       n: int, n_epochs: int, key: jax.Array,
+                       a: float, b: float,
+                       gamma: float = 1.0,
+                       initial_alpha: float = 1.0,
+                       negative_sample_rate: int = 5,
+                       psum_axis: str | None = None) -> jnp.ndarray:
     """layout.py's epoch-synchronous SGD on an edge list.
 
     Same semantics: per-edge epochs_per_sample schedules, attractive
@@ -293,6 +292,10 @@ def optimize_layout_edges(init: jnp.ndarray,
     NEG_POOL = 16
 
     wmax = jnp.max(w)
+    if psum_axis is not None:
+        # edges are sharded across the mesh: the schedule normalizer is
+        # the GLOBAL max weight
+        wmax = jax.lax.pmax(wmax, psum_axis)
     w = jnp.where(w < wmax / n_epochs, 0.0, w)
     n_samples = n_epochs * (w / jnp.maximum(wmax, 1e-30))
     eps = jnp.where(n_samples > 0,
@@ -332,6 +335,12 @@ def optimize_layout_edges(init: jnp.ndarray,
              n_neg_int.astype(jnp.float32)[:, None]], axis=1)
         seg = jax.ops.segment_sum(payload, head, num_segments=n,
                                   indices_are_sorted=True)
+        if psum_axis is not None:
+            # per-device partial sums over the edge shard -> global
+            # attraction/count/owed tables on every device; everything
+            # downstream (per-point negatives, the update) is identical
+            # replicated work, so the embedding stays in lockstep
+            seg = jax.lax.psum(seg, psum_axis)
         force = 2.0 * seg[:, :-2]
         cnt = 2.0 * seg[:, -2]
         m = seg[:, -1]                                            # [n] owed
@@ -366,6 +375,63 @@ def optimize_layout_edges(init: jnp.ndarray,
                                   (init.astype(jnp.float32), eons0, eonns0),
                                   jnp.arange(n_epochs, dtype=jnp.int32))
     return emb
+
+
+optimize_layout_edges = functools.partial(
+    jax.jit, static_argnames=("n", "n_epochs", "negative_sample_rate"))(
+        functools.partial(_layout_edges_impl, psum_axis=None))
+
+
+def optimize_layout_edges_sharded(init: jnp.ndarray,
+                                  head: jnp.ndarray, tail: jnp.ndarray,
+                                  w: jnp.ndarray,
+                                  n: int, n_epochs: int, key: jax.Array,
+                                  a: float, b: float, mesh,
+                                  axis: str = "dp",
+                                  gamma: float = 1.0,
+                                  initial_alpha: float = 1.0,
+                                  negative_sample_rate: int = 5) -> jnp.ndarray:
+    """The edge-list layout with the EDGES sharded over the mesh: each
+    device owns an edge shard (attraction gathers + segment sums over
+    ~E/p edges), partial per-point tables are psum'd over ICI, and the
+    replicated embedding updates in lockstep — the per-point negative
+    pool uses the same fold_in(key, epoch) stream on every device, so
+    the replicated halves stay bit-identical.  The psum's summation
+    order differs from the single-device segment sum, so embeddings
+    match the unsharded layout to f32 noise (structure, not bitwise).
+
+    Edge-schedule state (eons/eonns) lives WITH the shard.  The edge
+    list is padded to a multiple of the axis size with weight-0 edges,
+    which the wmax/n_epochs cutoff makes permanently inactive."""
+    import math as _math
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import shard_map
+
+    p = mesh.shape[axis]
+    E = head.shape[0]
+    Ep = _math.ceil(E / p) * p
+    pad = Ep - E
+    if pad:
+        head = jnp.concatenate([head, jnp.zeros(pad, head.dtype)])
+        tail = jnp.concatenate([tail, jnp.zeros(pad, tail.dtype)])
+        w = jnp.concatenate([w, jnp.zeros(pad, w.dtype)])
+
+    worker = functools.partial(
+        _layout_edges_impl, n=n, n_epochs=n_epochs, a=a, b=b, gamma=gamma,
+        initial_alpha=initial_alpha,
+        negative_sample_rate=negative_sample_rate, psum_axis=axis)
+
+    def fn(init_r, head_s, tail_s, w_s, key_r):
+        return worker(init_r, head_s, tail_s, w_s, key=key_r)
+
+    sharded = shard_map(fn, mesh=mesh,
+                        in_specs=(P(), P(axis), P(axis), P(axis), P()),
+                        out_specs=P(), check_vma=False)
+    dev = lambda v, spec: jax.device_put(v, NamedSharding(mesh, spec))  # noqa: E731
+    return jax.jit(sharded)(dev(init, P()), dev(head, P(axis)),
+                            dev(tail, P(axis)), dev(w, P(axis)),
+                            key)
 
 
 @functools.partial(jax.jit, static_argnames=("n_epochs",
@@ -507,7 +573,7 @@ def embed_sparse(x: np.ndarray, n_neighbors: int, n_components: int,
                  a: float, b: float, learning_rate: float,
                  negative_sample_rate: int, repulsion_strength: float,
                  local_connectivity: float,
-                 set_op_mix_ratio: float) -> np.ndarray:
+                 set_op_mix_ratio: float, mesh=None) -> np.ndarray:
     """One large cloud -> [n, n_components] embedding (edge-list path).
 
     Per-stage wall-clock lands in ``LAST_TIMINGS`` (diagnostic only)."""
@@ -540,11 +606,17 @@ def embed_sparse(x: np.ndarray, n_neighbors: int, n_components: int,
     init.block_until_ready()
     t["init_s"] = time.time() - t0
     t0 = time.time()
-    emb = optimize_layout_edges(init, head_j, tail_j, wgt_j, n, n_epochs,
-                                k_layout, a, b,
-                                gamma=repulsion_strength,
-                                initial_alpha=learning_rate,
-                                negative_sample_rate=negative_sample_rate)
+    if mesh is not None:
+        emb = optimize_layout_edges_sharded(
+            init, head_j, tail_j, wgt_j, n, n_epochs, k_layout, a, b,
+            mesh, gamma=repulsion_strength, initial_alpha=learning_rate,
+            negative_sample_rate=negative_sample_rate)
+    else:
+        emb = optimize_layout_edges(init, head_j, tail_j, wgt_j, n, n_epochs,
+                                    k_layout, a, b,
+                                    gamma=repulsion_strength,
+                                    initial_alpha=learning_rate,
+                                    negative_sample_rate=negative_sample_rate)
     out = np.asarray(emb)
     t["layout_s"] = time.time() - t0
     LAST_TIMINGS.clear()

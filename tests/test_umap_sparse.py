@@ -214,3 +214,37 @@ def test_knn_blocked_cross_matches_exact():
     ref = np.sort(np.sqrt(np.sort(d2, axis=1)[:, :6]), axis=1)
     np.testing.assert_allclose(np.sort(np.asarray(dists), axis=1), ref,
                                rtol=2e-3, atol=2e-3)
+
+
+def test_sparse_layout_mesh_matches_single_device():
+    """The edge-sharded layout (psum over the mesh) preserves structure
+    and tracks the single-device layout: same clusters, near-identical
+    geometry (the psum's summation order is the only difference)."""
+    from tdax.parallel import make_mesh
+    from tdax.ops.umap.sparse_path import (membership_strengths_knn,
+                                           optimize_layout_edges,
+                                           optimize_layout_edges_sharded,
+                                           pca_init, smooth_knn_dist)
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(3, 16)) * 8
+    x = np.concatenate([c + rng.normal(0, 0.5, (80, 16)) for c in centers])
+    xj = jnp.asarray(x.astype(np.float32))
+    idx, dists = knn_blocked(xj, 10, "euclidean")
+    sigma, rho = smooth_knn_dist(dists, 10.0, local_connectivity=1.0)
+    w = membership_strengths_knn(idx, dists, sigma, rho)
+    head, tail, wgt = build_sym_edges(np.asarray(idx), np.asarray(w), 1.0)
+    init = pca_init(xj, 2, jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(2)
+    args = (init, jnp.asarray(head), jnp.asarray(tail), jnp.asarray(wgt),
+            240, 100, key, 1.577, 0.895)
+    e1 = np.asarray(optimize_layout_edges(*args))
+    mesh = make_mesh(dp=8, tp=1)
+    e2 = np.asarray(optimize_layout_edges_sharded(*args, mesh))
+    # edge count 240*10*~2 is not divisible by 8 after symmetrization,
+    # so the weight-0 padding path is exercised too
+    corr = np.corrcoef(e1.ravel(), e2.ravel())[0, 1]
+    assert corr > 0.999, f"sharded layout diverged: corr={corr:.4f}"
+    from tdax.metrics.silhouette import silhouette_score
+    labels = np.repeat(np.arange(3), 80)
+    s = float(silhouette_score(e2, labels))
+    assert s > 0.7, f"clusters collapsed under the mesh: silhouette={s:.3f}"
