@@ -36,15 +36,23 @@ from tdax.ops.umap.fuzzy import membership_strengths_knn, smooth_knn_dist
 
 
 def knn_blocked(x: jnp.ndarray, k: int, metric: str,
-                block_rows: int = 8192) -> tuple[jnp.ndarray, jnp.ndarray]:
+                block_rows: int = 8192, mesh=None,
+                axis: str = "dp") -> tuple[jnp.ndarray, jnp.ndarray]:
     """Exact kNN lists (idx [n,k], dist [n,k]; self first) via blocked
-    all-pairs distances on device."""
+    all-pairs distances on device; with ``mesh`` the row blocks shard
+    over the mesh axis instead of looping on one chip (each output
+    element's arithmetic is identical under row blocking, so the mesh
+    result is bit-equal to the single-device one)."""
     n = x.shape[0]
 
     if metric == "cosine":
         xn = x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-30)
     else:
         xn = x
+
+    if mesh is not None:
+        return _knn_sharded(xn, n, k, metric, mesh, axis,
+                            chunk=min(block_rows, 2048))
 
     @functools.partial(jax.jit, static_argnames=())
     def block(rows, full, row0):
@@ -79,6 +87,57 @@ def knn_blocked(x: jnp.ndarray, k: int, metric: str,
         idxs.append(i[:hi - r0])
         dists.append(d[:hi - r0])
     return jnp.concatenate(idxs), jnp.concatenate(dists)
+
+
+def _knn_sharded(xn: jnp.ndarray, n: int, k: int, metric: str, mesh,
+                 axis: str, chunk: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Row-sharded exact kNN over the mesh (normalized input for cosine;
+    rows padded with copies of row 0 and sliced off host-side)."""
+    import math as _math
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import shard_map
+
+    p = mesh.shape[axis]
+    c = min(chunk, max(1, n // p) or 1)
+    n_pad = _math.ceil(n / (p * c)) * (p * c)
+    xs = jnp.concatenate([xn, jnp.broadcast_to(xn[0], (n_pad - n,) + xn.shape[1:])]) \
+        if n_pad > n else xn
+
+    def worker(x_rows, x_full):
+        m = x_rows.shape[0]
+        row0 = jax.lax.axis_index(axis) * m
+
+        def one(args):
+            xr, c0 = args
+            if metric == "cosine":
+                d = jnp.clip(1.0 - jnp.dot(
+                    xr, x_full.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST), 0.0, 2.0)
+            else:
+                sq_r = jnp.sum(xr * xr, axis=1, keepdims=True)
+                sq_f = jnp.sum(x_full * x_full, axis=1, keepdims=True)
+                d = jnp.sqrt(jnp.maximum(
+                    sq_r + sq_f.T - 2.0 * jnp.dot(
+                        xr, x_full.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST), 0.0))
+            rows_abs = row0 + c0 * c + jnp.arange(c)[:, None]
+            d = jnp.where(rows_abs == jnp.arange(x_full.shape[0])[None, :],
+                          0.0, d)  # pin self to exact 0 (ranks first)
+            neg, idx = jax.lax.top_k(-d, k)
+            return idx, -neg
+
+        xc = x_rows.reshape(m // c, c, x_rows.shape[1])
+        i, d = jax.lax.map(one, (xc, jnp.arange(m // c, dtype=jnp.int32)))
+        return i.reshape(m, k), d.reshape(m, k)
+
+    fn = shard_map(worker, mesh=mesh,
+                   in_specs=(P(axis, None), P(None, None)),
+                   out_specs=(P(axis, None), P(axis, None)))
+    xsh = jax.device_put(xs, NamedSharding(mesh, P(axis, None)))
+    xf = jax.device_put(xn, NamedSharding(mesh, P()))
+    i, d = jax.jit(fn)(xsh, xf)
+    return i[:n], d[:n]
 
 
 def knn_blocked_cross(x_new: jnp.ndarray, x_train: jnp.ndarray, k: int,
@@ -588,7 +647,7 @@ def embed_sparse(x: np.ndarray, n_neighbors: int, n_components: int,
     t["upload_s"] = time.time() - t0
     n = xj.shape[0]
     t0 = time.time()
-    idx, dists = knn_blocked(xj, n_neighbors, metric)
+    idx, dists = knn_blocked(xj, n_neighbors, metric, mesh=mesh)
     sigma, rho = smooth_knn_dist(dists, float(n_neighbors),
                                  local_connectivity=local_connectivity)
     w_knn = membership_strengths_knn(idx, dists, sigma, rho)

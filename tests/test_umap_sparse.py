@@ -248,3 +248,18 @@ def test_sparse_layout_mesh_matches_single_device():
     labels = np.repeat(np.arange(3), 80)
     s = float(silhouette_score(e2, labels))
     assert s > 0.7, f"clusters collapsed under the mesh: silhouette={s:.3f}"
+
+
+def test_knn_blocked_mesh_matches_single_device():
+    """Mesh-sharded kNN is bit-equal to the single-device blocked kNN
+    (row blocking does not change any output element's arithmetic);
+    n chosen non-divisible by the axis size to exercise the padding."""
+    from tdax.parallel import make_mesh
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(205, 24)).astype(np.float32))
+    mesh = make_mesh(dp=8, tp=1)
+    for metric in ("euclidean", "cosine"):
+        i1, d1 = knn_blocked(x, 12, metric)
+        i2, d2 = knn_blocked(x, 12, metric, mesh=mesh)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
