@@ -493,9 +493,7 @@ def optimize_layout_edges_sharded(init: jnp.ndarray,
                             key)
 
 
-@functools.partial(jax.jit, static_argnames=("n_epochs",
-                                             "negative_sample_rate"))
-def optimize_layout_edges_fixed_tail(init: jnp.ndarray,
+def _layout_fixed_tail_impl(init: jnp.ndarray,
                                      tail_emb: jnp.ndarray,
                                      head: jnp.ndarray, tail: jnp.ndarray,
                                      w: jnp.ndarray,
@@ -503,7 +501,11 @@ def optimize_layout_edges_fixed_tail(init: jnp.ndarray,
                                      a: float, b: float,
                                      gamma: float = 1.0,
                                      initial_alpha: float = 1.0,
-                                     negative_sample_rate: int = 5
+                                     negative_sample_rate: int = 5,
+                                     head0=0,
+                                     neg_rows_global: int | None = None,
+                                     neg_rows_pad: int = 0,
+                                     wmax_global: float | None = None
                                      ) -> jnp.ndarray:
     """optimize_layout_edges in transform mode: tails stay fixed at
     ``tail_emb`` (the fitted train embedding), only heads (new points)
@@ -523,7 +525,9 @@ def optimize_layout_edges_fixed_tail(init: jnp.ndarray,
     tail_fixed = tail_emb.astype(jnp.float32)
     NEG_POOL = 16
 
-    wmax = jnp.max(w)
+    # head-sharded mode: the schedule normalizer is the GLOBAL max edge
+    # weight, which a shard cannot see — the wrapper passes it in
+    wmax = jnp.max(w) if wmax_global is None else jnp.float32(wmax_global)
     w = jnp.where(w < wmax / n_epochs, 0.0, w)
     n_samples = n_epochs * (w / jnp.maximum(wmax, 1e-30))
     eps = jnp.where(n_samples > 0,
@@ -560,7 +564,23 @@ def optimize_layout_edges_fixed_tail(init: jnp.ndarray,
 
         # --- repulsive (per-point pool from the train set; heads move) ---
         k1 = jax.random.fold_in(key, epoch)
-        ridx = jax.random.randint(k1, (n_head, NEG_POOL), 0, n_tail)
+        if neg_rows_global is not None:
+            # head-sharded mode: draw the stream in its GLOBAL unpadded
+            # shape (so real rows get exactly the single-device draws),
+            # extend it with zeros for the shard-grid padding (those
+            # rows' results are discarded), and slice this shard's rows
+            # — dynamic_slice must never clamp, or real rows would read
+            # a shifted window
+            ridx_full = jax.random.randint(
+                k1, (neg_rows_global, NEG_POOL), 0, n_tail)
+            if neg_rows_pad:
+                ridx_full = jnp.concatenate(
+                    [ridx_full,
+                     jnp.zeros((neg_rows_pad, NEG_POOL), ridx_full.dtype)])
+            ridx = jax.lax.dynamic_slice(
+                ridx_full, (head0, jnp.int32(0)), (n_head, NEG_POOL))
+        else:
+            ridx = jax.random.randint(k1, (n_head, NEG_POOL), 0, n_tail)
         en = jnp.take(tail_fixed, ridx.reshape(-1),
                       axis=0).reshape(n_head, NEG_POOL, -1)
         ndiff = emb[:, None, :] - en                              # [nh, P, d]
@@ -587,12 +607,74 @@ def optimize_layout_edges_fixed_tail(init: jnp.ndarray,
     return emb
 
 
+optimize_layout_edges_fixed_tail = functools.partial(
+    jax.jit, static_argnames=("n_epochs", "negative_sample_rate",
+                              "neg_rows_global",
+                              "neg_rows_pad"))(_layout_fixed_tail_impl)
+
+
+def optimize_layout_edges_fixed_tail_sharded(
+        init: jnp.ndarray, tail_emb: jnp.ndarray,
+        head: jnp.ndarray, tail: jnp.ndarray, w: jnp.ndarray,
+        n_epochs: int, key: jax.Array, a: float, b: float, mesh,
+        axis: str = "dp", gamma: float = 1.0, initial_alpha: float = 1.0,
+        negative_sample_rate: int = 5) -> jnp.ndarray:
+    """The fixed-tail (transform) layout sharded by NEW POINTS: tails
+    are fixed, so each new point's trajectory is independent — every
+    device embeds its head shard against the replicated train embedding
+    with a purely local segment sum (no collective in the epoch loop at
+    all), and the negative stream is drawn in global shape and sliced
+    per shard, so the result is BIT-EQUAL to the single-device
+    transform.  Requires the transform edge layout (exactly E/n_new
+    edges per head, heads contiguous — what transform_sparse builds)."""
+    import math as _math
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import shard_map
+
+    n_new, dim = init.shape
+    E = head.shape[0]
+    assert E % n_new == 0, "fixed-tail sharding needs k edges per head"
+    k = E // n_new
+    p = mesh.shape[axis]
+    n_pad = _math.ceil(n_new / p) * p
+    pad = n_pad - n_new
+    if pad:
+        init = jnp.concatenate([init, jnp.zeros((pad, dim), init.dtype)])
+        head = jnp.concatenate(
+            [head, jnp.repeat(jnp.arange(n_new, n_pad, dtype=head.dtype), k)])
+        tail = jnp.concatenate([tail, jnp.zeros(pad * k, tail.dtype)])
+        w = jnp.concatenate([w, jnp.zeros(pad * k, w.dtype)])
+
+    wmax_global = float(jnp.max(w))
+
+    def worker(init_s, head_s, tail_s, w_s, tail_emb_r, key_r):
+        m = init_s.shape[0]
+        row0 = jax.lax.axis_index(axis) * m
+        return _layout_fixed_tail_impl(
+            init_s, tail_emb_r, head_s - row0, tail_s, w_s, n_epochs,
+            key_r, a, b, gamma=gamma, initial_alpha=initial_alpha,
+            negative_sample_rate=negative_sample_rate, head0=row0,
+            neg_rows_global=n_new, neg_rows_pad=pad,
+            wmax_global=wmax_global)
+
+    fn = shard_map(worker, mesh=mesh,
+                   in_specs=(P(axis, None), P(axis), P(axis), P(axis),
+                             P(), P()),
+                   out_specs=P(axis, None))
+    dev = lambda v, spec: jax.device_put(v, NamedSharding(mesh, spec))  # noqa: E731
+    emb = jax.jit(fn)(dev(init, P(axis, None)), dev(head, P(axis)),
+                      dev(tail, P(axis)), dev(w, P(axis)),
+                      dev(tail_emb.astype(jnp.float32), P()), key)
+    return emb[:n_new]
+
+
 def transform_sparse(x_new: np.ndarray, train_x: jnp.ndarray,
                      train_emb: np.ndarray, n_neighbors: int, metric: str,
                      n_epochs: int, key: jax.Array,
                      a: float, b: float, learning_rate: float,
                      negative_sample_rate: int, repulsion_strength: float,
-                     local_connectivity: float) -> np.ndarray:
+                     local_connectivity: float, mesh=None) -> np.ndarray:
     """Embed new points against a fitted reducer on the edge list —
     umap.UMAP.transform semantics (cross-kNN calibration, weighted-mean
     init, fixed-tail SGD at alpha/4) without the [n_new, n_train] dense
@@ -620,10 +702,16 @@ def transform_sparse(x_new: np.ndarray, train_x: jnp.ndarray,
     wsum = jnp.maximum(jnp.sum(w, axis=1), 1e-12)
     init = jnp.sum(w[:, :, None] * emb_t[idx], axis=1) / wsum[:, None]
 
-    emb = optimize_layout_edges_fixed_tail(
-        init, emb_t, head, tail, wgt, n_epochs, key, a, b,
-        gamma=repulsion_strength, initial_alpha=learning_rate / 4.0,
-        negative_sample_rate=negative_sample_rate)
+    if mesh is not None:
+        emb = optimize_layout_edges_fixed_tail_sharded(
+            init, emb_t, head, tail, wgt, n_epochs, key, a, b, mesh,
+            gamma=repulsion_strength, initial_alpha=learning_rate / 4.0,
+            negative_sample_rate=negative_sample_rate)
+    else:
+        emb = optimize_layout_edges_fixed_tail(
+            init, emb_t, head, tail, wgt, n_epochs, key, a, b,
+            gamma=repulsion_strength, initial_alpha=learning_rate / 4.0,
+            negative_sample_rate=negative_sample_rate)
     return np.asarray(emb)
 
 

@@ -263,3 +263,28 @@ def test_knn_blocked_mesh_matches_single_device():
         i2, d2 = knn_blocked(x, 12, metric, mesh=mesh)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
         np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+@pytest.mark.parametrize("n_new", [64, 53])  # divisible and padded
+def test_fixed_tail_layout_mesh_bit_equal(n_new):
+    """The head-sharded transform layout is BIT-EQUAL to the
+    single-device one: tails are fixed so heads are independent, and
+    the negative stream is drawn in global shape and sliced per shard."""
+    from tdax.parallel import make_mesh
+    from tdax.ops.umap.sparse_path import (
+        optimize_layout_edges_fixed_tail,
+        optimize_layout_edges_fixed_tail_sharded)
+    rng = np.random.default_rng(13)
+    n_train, k, d = 120, 8, 2
+    train_emb = jnp.asarray(rng.normal(size=(n_train, d)).astype(np.float32))
+    head = jnp.repeat(jnp.arange(n_new, dtype=jnp.int32), k)
+    tail = jnp.asarray(rng.integers(0, n_train, n_new * k).astype(np.int32))
+    wgt = jnp.asarray(rng.uniform(0.2, 1.0, n_new * k).astype(np.float32))
+    init = jnp.asarray(rng.normal(size=(n_new, d)).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+    e1 = np.asarray(optimize_layout_edges_fixed_tail(
+        init, train_emb, head, tail, wgt, 60, key, 1.577, 0.895))
+    mesh = make_mesh(dp=8, tp=1)
+    e2 = np.asarray(optimize_layout_edges_fixed_tail_sharded(
+        init, train_emb, head, tail, wgt, 60, key, 1.577, 0.895, mesh))
+    np.testing.assert_array_equal(e1, e2)
