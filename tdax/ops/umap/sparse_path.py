@@ -141,10 +141,14 @@ def _knn_sharded(xn: jnp.ndarray, n: int, k: int, metric: str, mesh,
 
 
 def knn_blocked_cross(x_new: jnp.ndarray, x_train: jnp.ndarray, k: int,
-                      metric: str, block_rows: int = 8192
+                      metric: str, block_rows: int = 8192, mesh=None,
+                      axis: str = "dp"
                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """kNN lists of x_new against x_train (idx [n_new,k], dist [n_new,k];
-    no self-distance semantics — the two clouds are distinct)."""
+    no self-distance semantics — the two clouds are distinct).  With
+    ``mesh`` the new points' row blocks shard over the mesh axis
+    (bit-equal: row blocking leaves each output element's arithmetic
+    unchanged)."""
     n_new = x_new.shape[0]
 
     if metric == "cosine":
@@ -154,6 +158,10 @@ def knn_blocked_cross(x_new: jnp.ndarray, x_train: jnp.ndarray, k: int,
                                                    keepdims=True), 1e-30)
     else:
         xn, tn = x_new, x_train
+
+    if mesh is not None:
+        return _knn_cross_sharded(xn, tn, n_new, k, metric, mesh, axis,
+                                  chunk=min(block_rows, 2048))
 
     @jax.jit
     def block(rows, full):
@@ -182,6 +190,54 @@ def knn_blocked_cross(x_new: jnp.ndarray, x_train: jnp.ndarray, k: int,
         idxs.append(i[:hi - r0])
         dists.append(d[:hi - r0])
     return jnp.concatenate(idxs), jnp.concatenate(dists)
+
+
+def _knn_cross_sharded(xn: jnp.ndarray, tn: jnp.ndarray, n_new: int,
+                       k: int, metric: str, mesh, axis: str,
+                       chunk: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Row-sharded cross-kNN (normalized inputs; new-point rows padded
+    with copies of row 0 and sliced off host-side)."""
+    import math as _math
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import shard_map
+
+    p = mesh.shape[axis]
+    c = min(chunk, max(1, n_new // p) or 1)
+    n_pad = _math.ceil(n_new / (p * c)) * (p * c)
+    xs = jnp.concatenate(
+        [xn, jnp.broadcast_to(xn[0], (n_pad - n_new,) + xn.shape[1:])]) \
+        if n_pad > n_new else xn
+
+    def worker(x_rows, x_full):
+        m = x_rows.shape[0]
+
+        def one(xr):
+            if metric == "cosine":
+                d = jnp.clip(1.0 - jnp.dot(
+                    xr, x_full.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST), 0.0, 2.0)
+            else:
+                sq_r = jnp.sum(xr * xr, axis=1, keepdims=True)
+                sq_f = jnp.sum(x_full * x_full, axis=1, keepdims=True)
+                d = jnp.sqrt(jnp.maximum(
+                    sq_r + sq_f.T - 2.0 * jnp.dot(
+                        xr, x_full.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST), 0.0))
+            neg, idx = jax.lax.top_k(-d, k)
+            return idx, -neg
+
+        xc = x_rows.reshape(m // c, c, x_rows.shape[1])
+        i, d = jax.lax.map(one, xc)
+        return i.reshape(m, k), d.reshape(m, k)
+
+    fn = shard_map(worker, mesh=mesh,
+                   in_specs=(P(axis, None), P(None, None)),
+                   out_specs=(P(axis, None), P(axis, None)))
+    xsh = jax.device_put(xs, NamedSharding(mesh, P(axis, None)))
+    tf = jax.device_put(tn, NamedSharding(mesh, P()))
+    i, d = jax.jit(fn)(xsh, tf)
+    return i[:n_new], d[:n_new]
 
 
 def build_sym_edges(knn_idx: np.ndarray, w: np.ndarray,
@@ -682,7 +738,7 @@ def transform_sparse(x_new: np.ndarray, train_x: jnp.ndarray,
     xj = jnp.asarray(np.asarray(x_new), dtype=jnp.float32)
     n_new = xj.shape[0]
     k = n_neighbors
-    idx, dists = knn_blocked_cross(xj, train_x, k, metric)
+    idx, dists = knn_blocked_cross(xj, train_x, k, metric, mesh=mesh)
 
     # no self column in cross-kNN: prepend a zero column so the
     # calibration's skip-self convention stays consistent (same as the

@@ -288,3 +288,18 @@ def test_fixed_tail_layout_mesh_bit_equal(n_new):
     e2 = np.asarray(optimize_layout_edges_fixed_tail_sharded(
         init, train_emb, head, tail, wgt, 60, key, 1.577, 0.895, mesh))
     np.testing.assert_array_equal(e1, e2)
+
+
+def test_knn_blocked_cross_mesh_matches_single_device():
+    """Mesh-sharded cross-kNN is bit-equal to the single-device one."""
+    from tdax.parallel import make_mesh
+    from tdax.ops.umap.sparse_path import knn_blocked_cross
+    rng = np.random.default_rng(15)
+    xn = jnp.asarray(rng.normal(size=(77, 20)).astype(np.float32))
+    xt = jnp.asarray(rng.normal(size=(150, 20)).astype(np.float32))
+    mesh = make_mesh(dp=8, tp=1)
+    for metric in ("euclidean", "cosine"):
+        i1, d1 = knn_blocked_cross(xn, xt, 9, metric)
+        i2, d2 = knn_blocked_cross(xn, xt, 9, metric, mesh=mesh)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
