@@ -135,8 +135,14 @@ def decoder_capture(stacked_layers: dict, x: jnp.ndarray, cfg: QwenVLConfig,
 
 
 def decoder(stacked_layers: dict, x: jnp.ndarray, cfg: QwenVLConfig,
-            attn_mask: jnp.ndarray) -> jnp.ndarray:
-    """Plain depth scan without capture (training / generation path)."""
+            attn_mask: jnp.ndarray, remat: bool = False) -> jnp.ndarray:
+    """Plain depth scan without capture (training / generation path).
+
+    ``remat=True`` rematerializes each scanned block in the backward
+    pass (keeping only matmul outputs, the dots-saveable policy), so
+    training memory stops scaling with every intermediate of every
+    layer — the standard TPU trade of HBM for recompute FLOPs.
+    """
     b, t, _ = x.shape
     positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
     cos, sin = rotary_cos_sin(positions, cfg.head_dim, cfg.rope_base)
@@ -145,5 +151,8 @@ def decoder(stacked_layers: dict, x: jnp.ndarray, cfg: QwenVLConfig,
     def step(h, layer):
         return block(h, layer, cfg, cos, sin, mask), None
 
+    if remat:
+        step = jax.checkpoint(
+            step, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
     final, _ = jax.lax.scan(step, x, stacked_layers)
     return final

@@ -142,11 +142,13 @@ def extract_layer_activations(params: dict, cfg: QwenVLConfig,
 def forward(params: dict, cfg: QwenVLConfig, input_ids: jnp.ndarray,
             attn_mask: jnp.ndarray | None = None,
             images: jnp.ndarray | None = None,
-            image_positions: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Logits [B, T, vocab]."""
+            image_positions: jnp.ndarray | None = None,
+            remat: bool = False) -> jnp.ndarray:
+    """Logits [B, T, vocab].  ``remat`` rematerializes decoder blocks
+    in the backward pass (training memory knob; see decoder)."""
     if attn_mask is None:
         attn_mask = jnp.ones_like(input_ids)
     x = embed_inputs(params, cfg, input_ids, images, image_positions)
-    x = decoder(params["layers"], x, cfg, attn_mask)
+    x = decoder(params["layers"], x, cfg, attn_mask, remat=remat)
     x = rms_norm(x, params["ln_f"], cfg.layer_norm_eps)
     return qdot(x, params["lm_head"]).astype(jnp.float32)

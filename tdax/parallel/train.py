@@ -21,9 +21,11 @@ from tdax.models.qwen_vl import QwenVLConfig, forward
 def lm_loss(params: dict, cfg: QwenVLConfig, input_ids: jnp.ndarray,
             attn_mask: jnp.ndarray,
             images: jnp.ndarray | None = None,
-            image_positions: jnp.ndarray | None = None) -> jnp.ndarray:
+            image_positions: jnp.ndarray | None = None,
+            remat: bool = False) -> jnp.ndarray:
     """Masked next-token cross entropy (mean over real target tokens)."""
-    logits = forward(params, cfg, input_ids, attn_mask, images, image_positions)
+    logits = forward(params, cfg, input_ids, attn_mask, images, image_positions,
+                     remat=remat)
     targets = input_ids[:, 1:]
     logits = logits[:, :-1]
     mask = (attn_mask[:, 1:] > 0).astype(jnp.float32)
@@ -33,20 +35,23 @@ def lm_loss(params: dict, cfg: QwenVLConfig, input_ids: jnp.ndarray,
 
 
 def make_train_step(cfg: QwenVLConfig, optimizer: optax.GradientTransformation,
-                    with_images: bool = False):
+                    with_images: bool = False, remat: bool = False):
     """Returns train_step(params, opt_state, batch) -> (params, opt_state, loss).
 
     ``batch``: dict with input_ids/attn_mask (+ images/image_positions
     when with_images).  jit with donated params/opt_state; shard params
     with tdax.parallel.shard_params and the batch with batch_sharding
-    BEFORE calling — GSPMD handles the rest.
+    BEFORE calling — GSPMD handles the rest.  ``remat=True`` turns on
+    per-block rematerialization (same gradients, less HBM, ~1 extra
+    block forward in the backward).
     """
 
     def step(params, opt_state, batch):
         def loss_fn(p):
             return lm_loss(p, cfg, batch["input_ids"], batch["attn_mask"],
                            batch.get("images") if with_images else None,
-                           batch.get("image_positions") if with_images else None)
+                           batch.get("image_positions") if with_images else None,
+                           remat=remat)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)

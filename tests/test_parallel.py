@@ -88,3 +88,21 @@ def test_lm_loss_masking():
     l_half = float(lm_loss(params, CFG, ids, half))
     assert np.isfinite(l_full) and np.isfinite(l_half)
     assert abs(l_full - l_half) > 1e-6  # mask actually changes the loss
+
+
+def test_remat_grads_match_plain():
+    """jax.checkpoint on the scanned block is a pure memory/recompute
+    trade: gradients must match the plain backward."""
+    params = init_params(jax.random.PRNGKey(4), CFG, with_visual=False)
+    rng = np.random.default_rng(4)
+    ids = jnp.asarray(rng.integers(1, CFG.vocab_size, (2, 12)).astype(np.int32))
+    mask = jnp.ones_like(ids)
+
+    g_plain = jax.grad(lambda p: lm_loss(p, CFG, ids, mask))(params)
+    g_remat = jax.grad(lambda p: lm_loss(p, CFG, ids, mask, remat=True))(params)
+    flat_a = jax.tree_util.tree_leaves(g_plain)
+    flat_b = jax.tree_util.tree_leaves(g_remat)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
