@@ -7,8 +7,10 @@ serving surface, so this bench supplies its perf evidence: prefill
 tokens/s (prompt pass building the caches) and steady-state decode
 tokens/s (the lax.scan one-token loop), per batch size.
 
-Usage: python bench_generate.py [toy|full-int8] [batches] [prompt_len] [new_tokens]
+Usage: python bench_generate.py [toy|full-int8] [batches] [prompt_len] [new_tokens] [kv8]
   batches: comma list, default "1,8,32"
+  kv8: store K/V caches in int8 (halves cache HBM — batch 32 of the
+       full config fits one chip; bf16 caches don't)
 Prints one JSON line per (batch, stage) plus a headline line.
 """
 
@@ -34,6 +36,7 @@ def main() -> None:
                                 else "1,8,32").split(",")]
     t = int(sys.argv[3]) if len(sys.argv) > 3 else 320
     new_tokens = int(sys.argv[4]) if len(sys.argv) > 4 else 64
+    kv_int8 = len(sys.argv) > 5 and sys.argv[5] == "kv8"
 
     np.asarray(jax.jit(lambda x: x + 1)(jnp.ones(4)))  # open device session
 
@@ -66,20 +69,26 @@ def main() -> None:
         # (batch 32 of the full config needs 9.7 GB params + 6.4 GB
         # caches = 16.1 GB > 15.75 — that batch size takes >= 2 chips
         # via the provided tp sharding, so skip it honestly here)
-        kv_bytes = (2 * cfg.num_layers * b * t_max * cfg.num_heads
-                    * cfg.head_dim * jnp.dtype(cfg.dtype).itemsize)
+        kv_elem = 2 * cfg.num_layers * b * t_max * cfg.num_heads
+        if kv_int8:
+            # int8 values + one f32 scale per (token, head) row
+            kv_bytes = kv_elem * (cfg.head_dim * 1 + 4)
+        else:
+            kv_bytes = kv_elem * cfg.head_dim * jnp.dtype(cfg.dtype).itemsize
         # 0.88: leave ~12% for activations, the per-layer pad transient,
         # and allocator fragmentation (b=32 full passes a 0.93 gate on
         # paper at 14.2 GB and still OOMs in practice)
         if param_bytes + kv_bytes > HBM * 0.88:
             print(json.dumps({
                 "stage": "skipped_batch", "mode": mode, "batch": b,
+                "kv_int8": kv_int8,
                 "reason": "params+caches exceed one chip's HBM",
                 "param_gb": round(param_bytes / 1e9, 2),
                 "kv_gb": round(kv_bytes / 1e9, 2)}))
             continue
 
-        prefill_fn = jax.jit(functools.partial(prefill, t_max=t_max),
+        prefill_fn = jax.jit(functools.partial(prefill, t_max=t_max,
+                                               kv_int8=kv_int8),
                              static_argnums=(1,))  # cfg is static
         run_prefill = lambda: prefill_fn(params, cfg, ids, mask)  # noqa: E731
 
@@ -95,6 +104,7 @@ def main() -> None:
 
         print(json.dumps({
             "stage": "prefill", "mode": mode, "batch": b, "prompt_len": t,
+            "kv_int8": kv_int8,
             "value": round(dt_prefill, 4), "unit": "s",
             "tokens_per_s": round(b * t / dt_prefill, 1)}))
 
@@ -127,16 +137,18 @@ def main() -> None:
         tok_s = b * new_tokens / dt_decode
 
         print(json.dumps({
-            "stage": "decode", "mode": mode, "batch": b,
+            "stage": "decode", "mode": mode, "batch": b, "kv_int8": kv_int8,
             "cache_len": t_max, "new_tokens": new_tokens,
             "value": round(dt_decode / new_tokens * 1000, 3), "unit": "ms/token",
             "tokens_per_s": round(tok_s, 1)}))
 
         # end-to-end generate() (prefill + decode in one jitted program)
-        gen = generate(params, cfg, ids, mask, max_new_tokens=new_tokens)
+        gen = generate(params, cfg, ids, mask, max_new_tokens=new_tokens,
+                       kv_int8=kv_int8)
         jax.block_until_ready(gen)
         t0 = time.time()
-        gen = generate(params, cfg, ids, mask, max_new_tokens=new_tokens)
+        gen = generate(params, cfg, ids, mask, max_new_tokens=new_tokens,
+                       kv_int8=kv_int8)
         jax.block_until_ready(gen)
         dt_e2e = time.time() - t0
         print(json.dumps({
@@ -146,7 +158,7 @@ def main() -> None:
 
     best_b = max(results, key=lambda b: results[b][1])
     print(json.dumps({
-        "metric": f"serving_{mode}_decode_tokens_per_s",
+        "metric": f"serving_{mode}{'_kv8' if kv_int8 else ''}_decode_tokens_per_s",
         "value": round(results[best_b][1], 1), "unit": "tokens/s",
         "batch": best_b,
         "prefill_tokens_per_s": round(results[best_b][0], 1),

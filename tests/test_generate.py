@@ -64,6 +64,54 @@ def test_generate_ragged_prompts(setup):
     np.testing.assert_array_equal(gen[1], solo[0])
 
 
+def test_kv_int8_cache_quantization_bound(setup):
+    """Dequantized int8 caches must match the fp caches within the
+    per-row abs-max/127 rounding bound (0.5 ulp of the int8 grid)."""
+    from tdax.models.qwen_vl.generate import _kv_dequant, prefill
+    params, ids, mask = setup
+    _, ks, vs = prefill(params, CFG, ids, mask, t_max=14)
+    _, ksq, vsq = prefill(params, CFG, ids, mask, t_max=14, kv_int8=True)
+    for fp, qd in ((ks, ksq), (vs, vsq)):
+        row_max = np.abs(np.asarray(fp)).max(axis=-1, keepdims=True)
+        err = np.abs(np.asarray(_kv_dequant(qd, jnp.float32)) - np.asarray(fp))
+        assert (err <= row_max / 127.0 * 0.5 + 1e-6).all()
+
+
+def test_kv_int8_decode_logits_close(setup):
+    """A decode step through int8 caches stays close to the fp-cache
+    logits (the only error source is the ~1e-2 cache rounding)."""
+    from tdax.models.qwen_vl.generate import _decode_step, prefill
+    params, ids, mask = setup
+    t_max = 14
+    lengths = jnp.sum(mask, axis=1).astype(jnp.int32)
+    _, ks, vs = prefill(params, CFG, ids, mask, t_max=t_max)
+    _, ksq, vsq = prefill(params, CFG, ids, mask, t_max=t_max, kv_int8=True)
+    tok = jnp.asarray(np.asarray(ids)[:, -1])
+    lg_f, _, _ = _decode_step(params, CFG, tok, lengths, ks, vs)
+    lg_q, ksq, vsq = _decode_step(params, CFG, tok, lengths, ksq, vsq)
+    lg_f, lg_q = np.asarray(lg_f), np.asarray(lg_q)
+    scale = np.abs(lg_f).max()
+    assert np.abs(lg_q - lg_f).max() < 0.05 * scale
+    # the scattered new row went through quantization too
+    assert ksq["q"].dtype == jnp.int8 and vsq["q"].dtype == jnp.int8
+
+
+def test_kv_int8_ragged_parity(setup):
+    """The ragged-prompt guarantee holds under int8 caches: quantization
+    is per (token, head) row, so padding cannot leak across samples."""
+    params, ids, mask = setup
+    ids = np.asarray(ids).copy()
+    mask = np.asarray(mask).copy()
+    ids[1, 7:] = 0
+    mask[1, 7:] = 0
+    gen = np.asarray(generate(params, CFG, jnp.asarray(ids), jnp.asarray(mask),
+                              max_new_tokens=3, kv_int8=True))
+    solo = np.asarray(generate(params, CFG, jnp.asarray(ids[1:, :7]),
+                               jnp.asarray(mask[1:, :7]), max_new_tokens=3,
+                               kv_int8=True))
+    np.testing.assert_array_equal(gen[1], solo[0])
+
+
 def test_generate_with_int8(setup):
     from tdax.models.qwen_vl.quantize import quantize_params
     params, ids, mask = setup
