@@ -67,7 +67,10 @@ def real_activation_clouds() -> tuple[np.ndarray, list[str], list[str]] | None:
     from tdax.data import generate_dataset
     from tdax.data.io import load_activations, load_metadata
 
-    if not os.path.exists(meta_path):
+    # metadata.json is committed but the PNGs are gitignored — regenerate
+    # whenever any image referenced by the metadata is missing
+    if not os.path.exists(meta_path) or not all(
+            os.path.exists(m["image_path"]) for m in load_metadata(meta_path)):
         generate_dataset(DatasetConfig())
     if not os.path.exists(acts_path):
         from tdax.models.qwen_vl import QwenVLConfig

@@ -1,4 +1,4 @@
-"""SGD embedding layout as a lax.scan.
+"""SGD embedding layout as a lax.scan (dense small-n path).
 
 Reproduces umap-learn's ``optimize_layout_euclidean`` semantics —
 per-edge sampling schedules (epochs_per_sample), attractive gradients
@@ -7,23 +7,31 @@ gradients 2 gamma b / ((0.001 + d^2)(1 + a d^2b)), per-dimension clip
 to [-4, 4], alpha decaying linearly to 0 — but **epoch-synchronous**:
 each epoch computes all active gradients against the epoch-start
 embedding and applies one fused update, instead of Numba's sequential
-in-place races.  Deterministic under a PRNG key, fully parallel on
-TPU, and vmappable over a leading batch-of-clouds axis.
+in-place races.  Deterministic, fully parallel on TPU, and vmappable
+over a leading batch-of-clouds axis.
 
-The fuzzy graph is consumed densely as [n_head, n_tail]: the edge set,
-sampling schedules, and negative-sample draws are all fixed-shape
-masked tensors, so 32 layers' layouts compile to a single XLA program.
+The fuzzy graph is consumed densely as [n_head, n_tail]: the edge set
+and sampling schedules are fixed-shape masked tensors, so 32 layers'
+layouts compile to a single XLA program.
 
 Deviation notes (documented, downstream-invariant — SURVEY §7 #2):
-  * synchronous updates (see above);
-  * per-edge negative-sample count is capped per epoch (rate + slack)
-    (umap's count is unbounded for rarely-sampled edges); schedules
-    still advance by the uncapped amount, so sampling cadence matches.
+  * synchronous updates with a mean-force stabilizer (see above);
+  * negative sampling is applied in EXACT EXPECTATION (mean-field):
+    umap draws each active edge's owed negatives uniformly from the
+    tail set; at dense scale the expectation of those draws is a
+    closed-form sum over ALL tails, so the repulsion is computed
+    against every tail and weighted by the owed count — identical
+    expectation, zero variance, and it removes the [nh, nt, slots]
+    random row-gathers that dominated the epoch on TPU (each row
+    gather from a narrow [n, 3] table moves a full (8, 128) tile).
+    Unlike the old sampled scheme the owed counts are NOT capped,
+    matching umap-learn's unbounded per-edge counts.
 
-umap quirks kept faithfully: a negative draw equal to the edge's tail
-is skipped; a zero-distance draw that is NOT the tail applies the
-constant +4-per-dimension kick; edges below max_weight/n_epochs are
-pruned before scheduling; schedules start at epochs_per_sample.
+umap quirks kept faithfully (in expectation): a negative draw equal to
+the edge's tail at zero distance is skipped; any other zero-distance
+draw applies the constant +4-per-dimension kick; edges below
+max_weight/n_epochs are pruned before scheduling; schedules start at
+epochs_per_sample.
 """
 
 from __future__ import annotations
@@ -33,11 +41,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-# Per-edge negative samples per epoch cap = negative_sample_rate + this
-# slack (umap's steady-state per-epoch count is ~negative_sample_rate for
-# the most frequently sampled edges).
-NEG_SLACK = 3
-
 
 def make_epochs_per_sample(weights: jnp.ndarray, n_epochs: int) -> jnp.ndarray:
     """umap's make_epochs_per_sample on a dense weight matrix; inf = never."""
@@ -46,21 +49,34 @@ def make_epochs_per_sample(weights: jnp.ndarray, n_epochs: int) -> jnp.ndarray:
     return jnp.where(n_samples > 0, n_epochs / jnp.maximum(n_samples, 1e-30), jnp.inf)
 
 
-def _epoch_forces(head, tail, graph_active, neg_idx, neg_on, tail_j_idx,
-                  a, b, gamma):
+def _epoch_forces(head, tail, graph_active, n_neg, a, b, gamma):
     """Returns (head_force, head_count, tail_force, tail_count) for one epoch.
 
     head/tail: epoch-start embeddings.  graph_active [nh, nt] bool.
-    neg_idx/neg_on [nh, nt, MAX_NEG]: negative draws and their masks.
-    Forces are summed per point; counts are the number of contributing
-    micro-updates, used by the caller to take the MEAN force — the
-    stabilizer that replaces Numba's sequential self-correcting
-    micro-steps with one bounded synchronous step per epoch.
+    n_neg [nh, nt] f32: per-edge owed negative-draw counts (0 where
+    inactive).  Forces are summed per point; counts are the number of
+    contributing micro-updates, used by the caller to take the MEAN
+    force — the stabilizer that replaces Numba's sequential
+    self-correcting micro-steps with one bounded synchronous step per
+    epoch.
+
+    Repulsion is umap's negative sampling in exact expectation: each
+    owed draw is uniform over the nt tails, skipped only when it lands
+    on the edge's own tail at zero distance, with the +4 kick on any
+    other zero-distance draw.  E[force_i] = (M_i * S_i - 4 * Z_i) / nt
+    where S_i sums the per-pair repulsive gradients over all tails,
+    M_i = sum_j n_neg[i, j], and Z_i = sum_j n_neg[i, j] * [d2(i,j)=0]
+    removes the skipped zero-distance tail terms; the expected on-count
+    is M_i - Z_i / nt.  Everything reuses the attraction's diff/d2 —
+    no gathers, no RNG.
     """
-    # --- attractive ---
+    nt = tail.shape[0]
+    # --- shared pairwise geometry ---
     diff = head[:, None, :] - tail[None, :, :]                   # [nh, nt, d]
     d2 = jnp.sum(diff * diff, axis=-1)
     pd2b = jnp.power(jnp.maximum(d2, 1e-12), b)
+
+    # --- attractive ---
     att_coeff = jnp.where(d2 > 0.0,
                           (-2.0 * a * b * pd2b / jnp.maximum(d2, 1e-12))
                           / (a * pd2b + 1.0),
@@ -72,21 +88,16 @@ def _epoch_forces(head, tail, graph_active, neg_idx, neg_on, tail_j_idx,
     head_count = jnp.sum(graph_active, axis=1).astype(head.dtype)
     tail_count = jnp.sum(graph_active, axis=0).astype(head.dtype)
 
-    # --- repulsive (negative samples; only heads move) ---
-    neg_pts = tail[neg_idx]                                      # [nh, nt, MAX_NEG, d]
-    ndiff = head[:, None, None, :] - neg_pts
-    nd2 = jnp.sum(ndiff * ndiff, axis=-1)
-    npd2b = jnp.power(jnp.maximum(nd2, 1e-12), b)
-    rep_coeff = (2.0 * gamma * b) / ((0.001 + nd2) * (a * npd2b + 1.0))
-    rep_grad = jnp.clip(rep_coeff[..., None] * ndiff, -4.0, 4.0)
-    zero_d = nd2 <= 0.0
-    is_tail = neg_idx == tail_j_idx[None, :, None]               # draw == edge tail -> skip
-    rep_grad = jnp.where((zero_d & ~is_tail)[..., None],
-                         4.0, rep_grad)                          # umap's constant kick
-    on = neg_on & ~(zero_d & is_tail)
-    rep_grad = jnp.where(on[..., None], rep_grad, 0.0)
-    head_force = head_force + jnp.sum(rep_grad, axis=(1, 2))
-    head_count = head_count + jnp.sum(on, axis=(1, 2)).astype(head.dtype)
+    # --- repulsive, in expectation over uniform tail draws ---
+    rep_coeff = (2.0 * gamma * b) / ((0.001 + d2) * (a * pd2b + 1.0))
+    rep_grad = jnp.clip(rep_coeff[:, :, None] * diff, -4.0, 4.0)
+    zero_d = d2 <= 0.0
+    rep_grad = jnp.where(zero_d[:, :, None], 4.0, rep_grad)      # +4 kick
+    s_i = jnp.sum(rep_grad, axis=1)                              # [nh, d]
+    m_i = jnp.sum(n_neg, axis=1)                                 # [nh]
+    z_i = jnp.sum(n_neg * zero_d.astype(head.dtype), axis=1)     # [nh]
+    head_force = head_force + (m_i[:, None] * s_i - 4.0 * z_i[:, None]) / nt
+    head_count = head_count + m_i - z_i / nt
     return head_force, head_count, tail_force, tail_count
 
 
@@ -108,10 +119,12 @@ def optimize_layout(head_embedding: jnp.ndarray,
     (pass identical arrays); attractive recoil on tails folds into the
     single evolving state.  move_other=False is transform mode: tails
     stay fixed at ``tail_embedding``.
+
+    ``key`` is kept for API stability; the mean-field repulsion is
+    deterministic (see module docstring), so it is unused.
     """
+    del key  # deterministic mean-field repulsion
     n_head, dim = head_embedding.shape
-    n_tail = tail_embedding.shape[0]
-    max_neg = negative_sample_rate + NEG_SLACK
     a32, b32, g32 = jnp.float32(a), jnp.float32(b), jnp.float32(gamma)
 
     wmax = jnp.max(graph)
@@ -119,7 +132,6 @@ def optimize_layout(head_embedding: jnp.ndarray,
     eps_mat = make_epochs_per_sample(graph, n_epochs)            # [nh, nt]
     epns_mat = eps_mat / negative_sample_rate
     edge_mask = jnp.isfinite(eps_mat)
-    tail_j_idx = jnp.arange(n_tail)
 
     def epoch_step(state, epoch):
         emb, eons, eonns = state
@@ -130,13 +142,10 @@ def optimize_layout(head_embedding: jnp.ndarray,
         active = edge_mask & (eons <= epoch)
         n_neg = jnp.where(active, (epoch.astype(jnp.float32) - eonns) / epns_mat, 0.0)
         n_neg_int = jnp.floor(n_neg).astype(jnp.int32)
-        k1 = jax.random.fold_in(key, epoch)
-        neg_idx = jax.random.randint(k1, (n_head, n_tail, max_neg), 0, n_tail)
-        slot = jax.lax.broadcasted_iota(jnp.int32, (n_head, n_tail, max_neg), 2)
-        neg_on = active[:, :, None] & (slot < jnp.minimum(n_neg_int, max_neg)[:, :, None])
+        n_neg_f = n_neg_int.astype(jnp.float32)
 
         head_force, head_count, tail_force, tail_count = _epoch_forces(
-            head, tail, active, neg_idx, neg_on, tail_j_idx, a32, b32, g32)
+            head, tail, active, n_neg_f, a32, b32, g32)
 
         if move_other:
             count = jnp.maximum(head_count + tail_count, 1.0)
@@ -145,16 +154,16 @@ def optimize_layout(head_embedding: jnp.ndarray,
             emb = emb + head_force / jnp.maximum(head_count, 1.0)[:, None] * alpha
 
         eons = jnp.where(active, eons + eps_mat, eons)
-        eonns = jnp.where(active, eonns + n_neg_int.astype(jnp.float32) * epns_mat, eonns)
+        eonns = jnp.where(active, eonns + n_neg_f * epns_mat, eonns)
         return (emb, eons, eonns), None
 
     eons0 = jnp.where(edge_mask, eps_mat, jnp.inf)
     eonns0 = jnp.where(edge_mask, epns_mat, jnp.inf)
     state0 = (head_embedding.astype(jnp.float32), eons0, eonns0)
     # measured on-chip: unrolling this scan (2x/4x) is a consistent
-    # LOSS at headline scale (0.78 s -> 0.86/1.06 s per 32-layer embed)
-    # — the bigger unrolled body inflates per-step live tensors without
-    # removing the sequential dependence between epochs
+    # LOSS at headline scale — the bigger unrolled body inflates
+    # per-step live tensors without removing the sequential dependence
+    # between epochs
     (emb, _, _), _ = jax.lax.scan(epoch_step, state0,
                                   jnp.arange(n_epochs, dtype=jnp.int32))
     return emb

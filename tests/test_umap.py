@@ -139,3 +139,69 @@ def test_smooth_knn_rho_with_duplicates():
     assert float(rho[0]) == pytest.approx(0.7)
     assert float(rho[1]) == pytest.approx(0.2)
     assert np.isfinite(np.asarray(sigma)).all()
+
+
+def test_mean_field_repulsion_is_exact_expectation():
+    """The dense layout's mean-field repulsion (layout._epoch_forces) must
+    equal the EXACT expectation of umap's per-edge negative sampling —
+    each active edge (i, j) owes n_neg[i, j] draws uniform over the nt
+    tails, a draw k==j at zero distance is skipped, any other
+    zero-distance draw applies the +4-per-dimension kick.  Oracle: direct
+    enumeration over all (edge, draw) pairs in numpy, including
+    duplicate-point geometry so both zero-distance branches fire."""
+    from tdax.ops.umap.layout import _epoch_forces
+
+    rng = np.random.default_rng(0)
+    nh = nt = 7
+    d = 3
+    emb = rng.normal(size=(nh, d)).astype(np.float32)
+    emb[4] = emb[1]          # duplicate pair -> d2 == 0 off-diagonal
+    active = rng.random((nh, nt)) < 0.5
+    np.fill_diagonal(active, False)
+    n_neg = np.where(active, rng.integers(0, 6, (nh, nt)), 0).astype(np.float32)
+    a, b, gamma = 1.58, 0.9, 1.0
+
+    def clip(v):
+        return np.clip(v, -4.0, 4.0)
+
+    head_f = np.zeros((nh, d))
+    head_c = np.zeros(nh)
+    tail_f = np.zeros((nt, d))
+    tail_c = np.zeros(nt)
+    for i in range(nh):
+        for j in range(nt):
+            diff = (emb[i] - emb[j]).astype(np.float64)
+            d2 = float(diff @ diff)
+            if active[i, j]:
+                pd2b = max(d2, 1e-12) ** b
+                coeff = (-2.0 * a * b * pd2b / max(d2, 1e-12)) / (a * pd2b + 1.0) \
+                    if d2 > 0 else 0.0
+                g = clip(coeff * diff)
+                head_f[i] += g
+                tail_f[j] -= g
+                head_c[i] += 1
+                tail_c[j] += 1
+            # expectation of n_neg[i, j] uniform draws over the tails
+            if n_neg[i, j] > 0:
+                for k in range(nt):
+                    kdiff = (emb[i] - emb[k]).astype(np.float64)
+                    kd2 = float(kdiff @ kdiff)
+                    if kd2 <= 0.0 and k == j:
+                        continue                     # umap's skip
+                    if kd2 <= 0.0:
+                        term = np.full(d, 4.0)       # umap's +4 kick
+                    else:
+                        pk = max(kd2, 1e-12) ** b
+                        rc = (2.0 * gamma * b) / ((0.001 + kd2) * (a * pk + 1.0))
+                        term = clip(rc * kdiff)
+                    head_f[i] += n_neg[i, j] / nt * term
+                    head_c[i] += n_neg[i, j] / nt
+
+    hf, hc, tf, tc = _epoch_forces(jnp.asarray(emb), jnp.asarray(emb),
+                                   jnp.asarray(active), jnp.asarray(n_neg),
+                                   jnp.float32(a), jnp.float32(b),
+                                   jnp.float32(gamma))
+    np.testing.assert_allclose(np.asarray(hf), head_f, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(hc), head_c, rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tf), tail_f, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(tc), tail_c, rtol=1e-6, atol=1e-6)
