@@ -1,4 +1,5 @@
-"""KV-cached autoregressive generation (greedy / temperature sampling).
+"""KV-cached autoregressive generation (greedy / temperature / top-k /
+top-p sampling).
 
 Net-new over the reference (it only probes activations), rounding out
 the serving surface a production VLM framework needs: a prefill pass
@@ -30,6 +31,35 @@ from tdax.models.qwen_vl.decoder import (attend, mlp, project_qkv, rms_norm,
 from tdax.ops.flash_attention import AttnSpec
 from tdax.models.qwen_vl.model import embed_inputs
 from tdax.models.qwen_vl.quantize import embed_lookup, qdot
+
+
+def sample_logits(logits: jnp.ndarray, key: jax.Array,
+                  temperature: float = 1.0,
+                  top_k: int = 0, top_p: float = 1.0) -> jnp.ndarray:
+    """Draw next-token ids [B] from logits [B, V].
+
+    temperature=0 is greedy argmax (top_k/top_p ignored).  top_k > 0
+    restricts to the k highest logits; top_p < 1 restricts to the
+    smallest prefix of the descending-probability ordering whose mass
+    reaches top_p (the first token is always kept).  Both filters mask
+    to -inf before the categorical draw; ties at the cutoff are all
+    kept (the convention sampling libraries differ on only at
+    measure-zero logit ties)."""
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = (logits / temperature).astype(jnp.float32)
+    if top_k > 0:
+        kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p < 1.0:
+        desc = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(desc, axis=-1)
+        csum = jnp.cumsum(probs, axis=-1)
+        keep = (csum - probs) < top_p          # mass BEFORE this token
+        cutoff = jnp.min(jnp.where(keep, desc, jnp.inf), axis=-1,
+                         keepdims=True)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
 def _kv_quant(x: jnp.ndarray) -> dict:
@@ -146,19 +176,28 @@ def _decode_step(params, cfg: QwenVLConfig, tok, cur_pos, ks, vs):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens",
-                                             "temperature", "kv_int8"))
+                                             "temperature", "top_k",
+                                             "top_p", "eos_token_id",
+                                             "pad_token_id", "kv_int8"))
 def generate(params, cfg: QwenVLConfig, input_ids, attn_mask,
              max_new_tokens: int = 32,
              images=None, image_positions=None,
              temperature: float = 0.0,
+             top_k: int = 0, top_p: float = 1.0,
+             eos_token_id: int | None = None,
+             pad_token_id: int = 0,
              key: jax.Array | None = None,
              kv_int8: bool = False) -> jnp.ndarray:
-    """Greedy (temperature=0) or sampled generation.
+    """Greedy (temperature=0) or sampled (temperature/top-k/top-p)
+    generation.
 
     input_ids/attn_mask [B, T] right-padded prompts; returns generated
-    token ids [B, max_new_tokens].  ``kv_int8`` stores the K/V caches in
-    int8 with per-(token, head) scales — half the cache HBM, ~1e-2
-    activation rounding in attention only (weights/live math untouched).
+    token ids [B, max_new_tokens].  With ``eos_token_id`` set, every
+    token after a sample's first EOS is ``pad_token_id`` (the scan's
+    trip count stays static under jit; finished samples' outputs are
+    masked).  ``kv_int8`` stores the K/V caches in int8 with
+    per-(token, head) scales — half the cache HBM, ~1e-2 activation
+    rounding in attention only (weights/live math untouched).
     """
     b, t = input_ids.shape
     t_max = t + max_new_tokens
@@ -177,24 +216,31 @@ def generate(params, cfg: QwenVLConfig, input_ids, attn_mask,
         key = jax.random.PRNGKey(0)
 
     def pick(logits, k):
-        if temperature == 0.0:
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return jax.random.categorical(k, logits / temperature, axis=-1).astype(jnp.int32)
+        return sample_logits(logits, k, temperature, top_k, top_p)
 
     key, k0 = jax.random.split(key)  # never reuse a consumed key
     tok0 = pick(first_logits, k0)
+    done0 = (tok0 == eos_token_id) if eos_token_id is not None \
+        else jnp.zeros_like(tok0, dtype=bool)
     if max_new_tokens == 1:
         return tok0[:, None]
 
     def loop(carry, i):
-        tok, ks, vs, k = carry
+        tok, done, ks, vs, k = carry
         k, sub = jax.random.split(k)
         logits, ks, vs = _decode_step(params, cfg, tok, lengths + i, ks, vs)
         nxt = pick(logits, sub)
-        return (nxt, ks, vs, k), nxt
+        if eos_token_id is not None:
+            # a finished sample emits pad from the step AFTER its EOS on;
+            # the decode still runs (static scan trip count under jit) but
+            # its output is masked, so the returned ids are final
+            nxt = jnp.where(done, jnp.int32(pad_token_id), nxt)
+            done = done | (nxt == eos_token_id)
+        return (nxt, done, ks, vs, k), nxt
 
     # emit the NEXT token each step: max_new_tokens-1 decode steps total,
     # no discarded trailing step
-    (_, _, _, _), toks = jax.lax.scan(
-        loop, (tok0, ks, vs, key), jnp.arange(max_new_tokens - 1, dtype=jnp.int32))
+    (_, _, _, _, _), toks = jax.lax.scan(
+        loop, (tok0, done0, ks, vs, key),
+        jnp.arange(max_new_tokens - 1, dtype=jnp.int32))
     return jnp.concatenate([tok0[:, None], jnp.transpose(toks, (1, 0))], axis=1)

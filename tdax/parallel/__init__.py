@@ -9,7 +9,9 @@ collectives inserted by GSPMD — no NCCL/MPI analogue is needed.
 """
 
 from tdax.parallel.mesh import make_mesh, param_sharding_rules, shard_params
-from tdax.parallel.train import lm_loss, make_train_step
+from tdax.parallel.train import (default_optimizer, lm_loss, make_train_step,
+                                 train_loop, warmup_cosine_lr)
 
 __all__ = ["make_mesh", "param_sharding_rules", "shard_params",
-           "lm_loss", "make_train_step"]
+           "lm_loss", "make_train_step", "train_loop",
+           "default_optimizer", "warmup_cosine_lr"]

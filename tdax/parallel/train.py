@@ -61,8 +61,61 @@ def make_train_step(cfg: QwenVLConfig, optimizer: optax.GradientTransformation,
     return jax.jit(step, donate_argnums=(0, 1))
 
 
-def default_optimizer(lr: float = 1e-4) -> optax.GradientTransformation:
+def default_optimizer(lr=1e-4) -> optax.GradientTransformation:
+    """Global-norm clip + adamw.  ``lr`` may be a float or any optax
+    schedule (e.g. ``warmup_cosine_lr``)."""
     return optax.chain(
         optax.clip_by_global_norm(1.0),
         optax.adamw(lr, b1=0.9, b2=0.95, weight_decay=0.01),
     )
+
+
+def warmup_cosine_lr(peak_lr: float, warmup_steps: int, total_steps: int,
+                     end_frac: float = 0.1):
+    """The standard LLM fine-tuning schedule: linear warmup from 0 to
+    peak_lr, cosine decay to end_frac * peak_lr by total_steps."""
+    return optax.warmup_cosine_decay_schedule(
+        0.0, peak_lr, warmup_steps, total_steps, peak_lr * end_frac)
+
+
+def train_loop(params: dict, cfg: QwenVLConfig, batches, n_steps: int,
+               optimizer: optax.GradientTransformation | None = None,
+               checkpoint_path: str | None = None,
+               checkpoint_every: int = 100,
+               resume: bool = True,
+               with_images: bool = False, remat: bool = False,
+               verbose: bool = False):
+    """Minimal production fit loop with crash resume.
+
+    ``batches`` is a callable ``step -> batch dict`` (a function of the
+    step index, so a resumed run replays the identical data order).
+    Every ``checkpoint_every`` steps the full train state (params +
+    optimizer state + step) is written atomically to
+    ``checkpoint_path.npz`` (tdax.utils.checkpoint.save_train_state);
+    with ``resume=True`` an existing checkpoint restarts the loop from
+    its step — the same resumable contract as activation extraction
+    (SURVEY §5).  Returns (params, opt_state, losses) where losses
+    covers the steps THIS invocation ran."""
+    import os
+
+    from tdax.utils.checkpoint import load_train_state, save_train_state
+
+    opt = optimizer if optimizer is not None else default_optimizer()
+    opt_state = opt.init(params)
+    start = 0
+    if checkpoint_path and resume and os.path.exists(checkpoint_path + ".npz"):
+        params, opt_state, start = load_train_state(checkpoint_path, opt_state)
+        if verbose:
+            print(f"[tdax.train] resumed from step {start}", flush=True)
+
+    step_fn = make_train_step(cfg, opt, with_images=with_images, remat=remat)
+    losses = []
+    for i in range(start, n_steps):
+        params, opt_state, loss = step_fn(params, opt_state, batches(i))
+        losses.append(float(loss))
+        if verbose:
+            print(f"[tdax.train] step {i + 1}/{n_steps} loss {losses[-1]:.4f}",
+                  flush=True)
+        if checkpoint_path and (i + 1) % checkpoint_every == 0:
+            save_train_state(checkpoint_path, params, opt_state, i + 1)
+    return params, opt_state, losses

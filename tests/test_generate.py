@@ -119,3 +119,72 @@ def test_generate_with_int8(setup):
     gen = np.asarray(generate(q, CFG, ids, mask, max_new_tokens=4))
     assert gen.shape == (2, 4)
     assert ((gen >= 0) & (gen < CFG.vocab_size)).all()
+
+
+def test_sample_logits_filters():
+    """top-k / top-p masks restrict draws to exactly the intended
+    support; degenerate settings reduce to greedy."""
+    from tdax.models.qwen_vl.generate import sample_logits
+
+    logits = jnp.asarray([[0.0, 3.0, 1.0, 2.5, -1.0],
+                          [5.0, 0.0, 0.1, 0.2, 0.3]])
+    best = np.array([1, 0])
+
+    # temperature 0 -> argmax regardless of filters
+    np.testing.assert_array_equal(
+        np.asarray(sample_logits(logits, jax.random.PRNGKey(0), 0.0,
+                                 top_k=3, top_p=0.5)), best)
+    # top_k=1 -> argmax even at high temperature
+    for s in range(5):
+        np.testing.assert_array_equal(
+            np.asarray(sample_logits(logits, jax.random.PRNGKey(s), 5.0,
+                                     top_k=1)), best)
+    # tiny top_p -> only the first (highest-prob) token survives
+    for s in range(5):
+        np.testing.assert_array_equal(
+            np.asarray(sample_logits(logits, jax.random.PRNGKey(s), 1.0,
+                                     top_p=1e-6)), best)
+
+    # top_k=3: row-0 support {1, 3, 2}, row-1 support {0, 4, 3}
+    draws = np.stack([np.asarray(sample_logits(logits, jax.random.PRNGKey(s),
+                                               temperature=3.0, top_k=3))
+                      for s in range(200)])
+    assert set(draws[:, 0]) == {1, 2, 3}
+    assert set(draws[:, 1]) <= {0, 3, 4} and 0 in set(draws[:, 1])
+
+    # top_p: row 0 probs ~ [.03, .61, .08, .37]-ish -> 0.7 keeps {1, 3}
+    draws = np.stack([np.asarray(sample_logits(logits, jax.random.PRNGKey(s),
+                                               temperature=1.0, top_p=0.7))
+                      for s in range(200)])
+    assert set(draws[:, 0]) == {1, 3}
+    assert set(draws[:, 1]) == {0}  # row 1: token 0 carries ~0.95 mass
+
+
+def test_generate_with_sampling_filters(setup):
+    """generate() with top-k/top-p runs, is deterministic under a fixed
+    key, and differs from the unfiltered draw."""
+    params, ids, mask = setup
+    kw = dict(max_new_tokens=6, temperature=1.0, key=jax.random.PRNGKey(3))
+    a = np.asarray(generate(params, CFG, ids, mask, top_k=5, top_p=0.9, **kw))
+    b = np.asarray(generate(params, CFG, ids, mask, top_k=5, top_p=0.9, **kw))
+    np.testing.assert_array_equal(a, b)
+    c = np.asarray(generate(params, CFG, ids, mask, **kw))
+    assert a.shape == c.shape == (2, 6)
+
+
+def test_generate_eos_masks_tail(setup):
+    """With eos_token_id set, every token after a sample's first EOS is
+    pad, and tokens up to (and incl.) the EOS match the unmasked run."""
+    params, ids, mask = setup
+    n_new = 8
+    base = np.asarray(generate(params, CFG, ids, mask, max_new_tokens=n_new))
+    # choose an eos id that actually occurs mid-stream for sample 0
+    eos = int(base[0, 3])
+    pad = -1
+    out = np.asarray(generate(params, CFG, ids, mask, max_new_tokens=n_new,
+                              eos_token_id=eos, pad_token_id=pad))
+    for bi in range(out.shape[0]):
+        hits = np.where(base[bi] == eos)[0]
+        cut = int(hits[0]) if len(hits) else n_new - 1
+        np.testing.assert_array_equal(out[bi, :cut + 1], base[bi, :cut + 1])
+        assert (out[bi, cut + 1:] == pad).all()

@@ -106,3 +106,49 @@ def test_remat_grads_match_plain():
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_train_loop_checkpoint_resume(tmp_path):
+    """train_loop's crash-resume contract: a run interrupted after its
+    checkpoint and resumed must land on EXACTLY the same params and
+    optimizer state as an uninterrupted run (batches are a function of
+    the step index, so data order replays identically)."""
+    from tdax.parallel import default_optimizer, train_loop, warmup_cosine_lr
+
+    cfg = CFG
+    rng = np.random.default_rng(7)
+    fixed = [rng.integers(1, 64, (2, 12)).astype(np.int32) for _ in range(6)]
+
+    def batches(i):
+        return {"input_ids": jnp.asarray(fixed[i]),
+                "attn_mask": jnp.ones((2, 12), jnp.int32)}
+
+    def opt():
+        return default_optimizer(warmup_cosine_lr(1e-3, 2, 6))
+
+    p0 = init_params(jax.random.PRNGKey(5), cfg, with_visual=False)
+    straight, opt_straight, losses = train_loop(
+        p0, cfg, batches, n_steps=6, optimizer=opt())
+    assert len(losses) == 6 and np.isfinite(losses).all()
+
+    # interrupted: checkpoint at step 4, "crash" (stop), then resume to 6
+    p0 = init_params(jax.random.PRNGKey(5), cfg, with_visual=False)
+    ck = str(tmp_path / "train_ck")
+    _, _, l1 = train_loop(p0, cfg, batches, n_steps=4, optimizer=opt(),
+                          checkpoint_path=ck, checkpoint_every=4)
+    assert len(l1) == 4
+    p0 = init_params(jax.random.PRNGKey(5), cfg, with_visual=False)
+    resumed, opt_resumed, l2 = train_loop(p0, cfg, batches, n_steps=6,
+                                          optimizer=opt(),
+                                          checkpoint_path=ck,
+                                          checkpoint_every=100)
+    assert len(l2) == 2  # only steps 4..6 ran
+    np.testing.assert_array_equal(l2, losses[4:])
+
+    flat_a = jax.tree_util.tree_leaves(straight)
+    flat_b = jax.tree_util.tree_leaves(resumed)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(opt_straight),
+                    jax.tree_util.tree_leaves(opt_resumed)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
