@@ -230,7 +230,13 @@ def fit_transform_batched(clouds: np.ndarray, cfg: UMAPConfig | None = None,
     (debug_tda_pipeline.py:96-102).
     """
     cfg = cfg or UMAPConfig()
-    clouds = jnp.asarray(np.asarray(clouds), dtype=jnp.float32)
+    if isinstance(clouds, jax.Array):
+        # device-resident pass-through (the product path: activation
+        # clouds come straight out of model capture and live in HBM —
+        # np.asarray here would round-trip them through the host)
+        clouds = clouds.astype(jnp.float32)
+    else:
+        clouds = jnp.asarray(np.asarray(clouds), dtype=jnp.float32)
     n_layers, n, _ = clouds.shape
     if n < 2:
         raise ValueError(f"UMAP requires at least 2 samples per cloud, got {n}")

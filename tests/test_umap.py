@@ -205,3 +205,16 @@ def test_mean_field_repulsion_is_exact_expectation():
     np.testing.assert_allclose(np.asarray(hc), head_c, rtol=1e-6, atol=1e-5)
     np.testing.assert_allclose(np.asarray(tf), tail_f, rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(tc), tail_c, rtol=1e-6, atol=1e-6)
+
+
+def test_batched_device_resident_pass_through(clusters):
+    """fit_transform_batched must accept a device-resident jax.Array
+    (the product path: capture output lives in HBM) and produce exactly
+    the host-input result — no host round-trip, no numeric drift."""
+    x, _ = clusters
+    clouds = np.stack([x, x[::-1].copy()]).astype(np.float32)
+    cfg = UMAPConfig(n_neighbors=6, n_components=3, random_state=42,
+                     metric="cosine", n_epochs=50)
+    host = fit_transform_batched(clouds, cfg)
+    dev = fit_transform_batched(jnp.asarray(clouds), cfg)
+    np.testing.assert_array_equal(host, dev)
