@@ -45,13 +45,12 @@ def make_clouds(seed: int = 42) -> tuple[np.ndarray, list[str], list[str]]:
 
 def run_sweep(clouds, shape_labels, color_labels):
     from tdax.config import SweepConfig
-    from tdax.pipeline.tda_sweep import (batched_silhouettes, embed_layers,
+    from tdax.pipeline.tda_sweep import (embed_and_silhouettes,
                                          persistence_per_layer)
 
     cfg = SweepConfig()
-    clouds_3d = embed_layers(clouds, cfg).astype(np.float32)
-    sil = batched_silhouettes(clouds_3d, {"shape": shape_labels,
-                                          "color": color_labels})
+    clouds_3d, sil = embed_and_silhouettes(
+        clouds, cfg, {"shape": shape_labels, "color": color_labels})
     dgms = persistence_per_layer(clouds_3d, maxdim=1)
     return clouds_3d, sil, dgms
 

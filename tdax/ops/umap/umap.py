@@ -220,6 +220,25 @@ class UMAP:
         return np.asarray(emb)
 
 
+def batched_embed_fn(cfg: UMAPConfig, k: int, n_epochs: int,
+                     a: float, b: float):
+    """The jit-able batched-embed core ``(clouds [L, n, D], key) ->
+    [L, n, n_components]`` shared by fit_transform_batched and fused
+    pipelines (tda_sweep composes it with the silhouettes in ONE
+    program).  key is an argument, not a closure capture: captured
+    device arrays become lowering-time constants that cost a
+    device->host fetch each."""
+    def run(cs, key):
+        def one(c):
+            emb, _ = _embed(c, k, cfg.n_components, cfg.metric, n_epochs, key,
+                            a, b, cfg.learning_rate, cfg.negative_sample_rate,
+                            cfg.repulsion_strength, cfg.local_connectivity,
+                            cfg.set_op_mix_ratio)
+            return emb
+        return jax.vmap(one)(cs)
+    return run
+
+
 def fit_transform_batched(clouds: np.ndarray, cfg: UMAPConfig | None = None,
                           n_neighbors: int | None = None) -> np.ndarray:
     """Embed a stack of clouds [L, n, D] -> [L, n, n_components] in ONE
@@ -244,17 +263,7 @@ def fit_transform_batched(clouds: np.ndarray, cfg: UMAPConfig | None = None,
     a, b = find_ab_params(cfg.spread, cfg.min_dist)
     n_epochs = _default_epochs(n, cfg.n_epochs)
 
-    @jax.jit
-    def run(cs, key):
-        # key is an argument, not a closure capture: captured device arrays
-        # become lowering-time constants that cost a device->host fetch each.
-        def one(c):
-            emb, _ = _embed(c, k, cfg.n_components, cfg.metric, n_epochs, key,
-                            a, b, cfg.learning_rate, cfg.negative_sample_rate,
-                            cfg.repulsion_strength, cfg.local_connectivity,
-                            cfg.set_op_mix_ratio)
-            return emb
-        return jax.vmap(one)(cs)
+    run = jax.jit(batched_embed_fn(cfg, k, n_epochs, a, b))
 
     # shard the layer axis across the mesh when it divides evenly: on a
     # v5e-8 each device embeds n_layers/8 clouds of the vmapped program

@@ -57,6 +57,57 @@ def batched_silhouettes(clouds: np.ndarray, label_sets: dict[str, list[str]]) ->
     return out
 
 
+def embed_and_silhouettes(clouds, cfg: SweepConfig,
+                          label_sets: dict[str, list[str]]
+                          ) -> tuple[np.ndarray, dict[str, np.ndarray]]:
+    """Fused per_layer-mode stage 1+2: the vmapped UMAP embed of all
+    layers AND every layer x label-set silhouette in ONE jitted program
+    — one dispatch round-trip instead of three (values identical to
+    embed_layers + batched_silhouettes; asserted in test_pipeline).
+    Accepts a device-resident ``jax.Array`` cloud stack (the product
+    path).  Shared-reducer mode falls back to the separate stages."""
+    if cfg.reducer_mode != "per_layer":
+        c3 = embed_layers(clouds, cfg).astype(np.float32)
+        return c3, batched_silhouettes(c3, label_sets)
+
+    from tdax.ops.umap.umap import (_default_epochs, batched_embed_fn,
+                                    find_ab_params)
+    ucfg = cfg.umap
+    if isinstance(clouds, jax.Array):
+        cj = clouds.astype(jnp.float32)
+    else:
+        cj = jnp.asarray(np.asarray(clouds), dtype=jnp.float32)
+    n_layers, n, _ = cj.shape
+    k = min(ucfg.n_neighbors, n - 1)
+    a, b = find_ab_params(ucfg.spread, ucfg.min_dist)
+    n_epochs = _default_epochs(n, ucfg.n_epochs)
+    embed = batched_embed_fn(ucfg, k, n_epochs, a, b)
+    encs = {name: _encode_labels(labels) for name, labels in label_sets.items()}
+    n_classes = {name: nc for name, (_, nc) in encs.items()}
+
+    @jax.jit
+    def run(cs, key, enc_arrays):
+        embs = embed(cs, key)
+        sils = {}
+        for name, enc in enc_arrays.items():
+            nc = n_classes[name]
+            sils[name] = jax.vmap(lambda e, _enc=enc: silhouette_jax(
+                e, _enc, nc))(embs)
+        return embs, sils
+
+    # same layer-axis scale-out as fit_transform_batched
+    devices = jax.devices()
+    if len(devices) > 1 and n_layers % len(devices) == 0:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        mesh = Mesh(np.array(devices), ("layers",))
+        cj = jax.device_put(cj, NamedSharding(mesh, P("layers")))
+
+    embs, sils = run(cj, jax.random.PRNGKey(ucfg.random_state),
+                     {name: jnp.asarray(enc) for name, (enc, _) in encs.items()})
+    return (np.asarray(embs).astype(np.float32),
+            {name: np.asarray(v) for name, v in sils.items()})
+
+
 def persistence_per_layer(clouds_3d: np.ndarray, maxdim: int = 1,
                           backend: str = "auto",
                           max_workers: int | None = None) -> list[list[np.ndarray]]:
@@ -154,20 +205,16 @@ def run_tda_sweep(all_data: dict[str, dict], metadata_path: str,
             "TDAX_PROFILE_DIR", "/tmp/tdax_trace"))
 
     with profile_ctx:
-        # 1) all layers embedded in one compiled program
-        clouds_3d = embed_layers(clouds, cfg).astype(np.float32)
-        if verbose:
-            print(f"[tdax] embed ({cfg.reducer_mode}): {_time.time() - _t:.1f}s",
-                  flush=True)
-        log_event("embed", mode=cfg.reducer_mode, n_layers=cfg.n_layers,
-                  seconds=round(_time.time() - _t, 2))
-        _t = _time.time()
-
-        # 2) all silhouettes in one vmapped program per label set
-        sil = batched_silhouettes(clouds_3d, {"shape": shape_labels,
-                                              "color": color_labels})
+        # 1+2) all layers embedded AND all silhouettes scored in one
+        # compiled program (per_layer mode; shared mode runs them
+        # separately inside the helper)
+        clouds_3d, sil = embed_and_silhouettes(
+            clouds, cfg, {"shape": shape_labels, "color": color_labels})
     if verbose:
-        print(f"[tdax] silhouettes: {_time.time() - _t:.1f}s", flush=True)
+        print(f"[tdax] embed+silhouettes ({cfg.reducer_mode}): "
+              f"{_time.time() - _t:.1f}s", flush=True)
+    log_event("embed", mode=cfg.reducer_mode, n_layers=cfg.n_layers,
+              seconds=round(_time.time() - _t, 2))
     _t = _time.time()
 
     # 3) persistence per layer (threaded native engine)
