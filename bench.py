@@ -119,22 +119,40 @@ def main() -> None:
     # come straight out of model capture and never visit the host, so
     # the sweep is timed without the 18 MB host->device upload (which
     # crosses a ~30 MB/s relay in this session and dominates otherwise)
+    # headline rows are the MEDIAN of 3 timed runs: single shots on the
+    # relayed chip see dispatch-latency spikes of 2-3x (each run varies
+    # an input element — the relay dedupes identical dispatches)
+    def median3(cs):
+        ts = []
+        for _ in range(3):
+            cs = bump(cs)
+            t0 = time.time()
+            out = run_sweep(cs, shape_labels, color_labels)
+            ts.append(time.time() - t0)
+        return sorted(ts)[1], out
+
     import jax.numpy as jnp
     clouds_dev = jnp.asarray(clouds, dtype=jnp.float32)
     clouds_dev.block_until_ready()
+
+    def bump(cs):
+        if isinstance(cs, np.ndarray):
+            cs = cs.copy()
+            cs[0, 0, 0] += 1e-6
+            return cs
+        cs = cs.at[0, 0, 0].add(1e-6)
+        cs.block_until_ready()
+        return cs
+
     run_sweep(clouds_dev, shape_labels, color_labels)  # warm-up / compile
-    t0 = time.time()
-    run_sweep(clouds_dev, shape_labels, color_labels)
-    hbm_elapsed = time.time() - t0
+    hbm_elapsed, _ = median3(clouds_dev)
     print(json.dumps({
         "metric": "umap_ph_sweep_32layers_36x4096_hbm",
         "value": round(hbm_elapsed, 3), "unit": "s",
         "vs_baseline": round(BASELINE_SECONDS / hbm_elapsed, 2)}))
 
     run_sweep(clouds, shape_labels, color_labels)  # warm-up / compile
-    t0 = time.time()
-    _, sil, dgms = run_sweep(clouds, shape_labels, color_labels)
-    elapsed = time.time() - t0
+    elapsed, (_, sil, dgms) = median3(clouds)
 
     assert int(np.argmax(sil["shape"])) == 25, "sanity: planted peak layer"
     assert all(len(d) == 2 for d in dgms)

@@ -20,8 +20,7 @@ from tdax.config import SweepConfig
 from tdax.data.adversarial import CONDITIONS
 from tdax.data.io import activations_to_layer_clouds, dump_json, ensure_dir
 from tdax.metrics.persistence import get_persistence
-from tdax.ops.umap import fit_transform_batched
-from tdax.pipeline.tda_sweep import batched_silhouettes, persistence_per_layer
+from tdax.pipeline.tda_sweep import embed_and_silhouettes, persistence_per_layer
 from tdax.viz.diagrams import save_diagram_png
 
 
@@ -35,10 +34,10 @@ def compute_tda_for_condition(condition: str, clouds: np.ndarray,
     diag_dir = ensure_dir(os.path.join(output_subdir, "diagrams"))
     cloud_dir = ensure_dir(os.path.join(output_subdir, "point_clouds"))
 
-    n = clouds.shape[1]
-    k = min(6, n - 1)  # reference: n_neighbors=min(6, len(samples)-1) (:86)
-    clouds_3d = fit_transform_batched(clouds, cfg.umap, n_neighbors=k).astype(np.float32)
-    sil = batched_silhouettes(clouds_3d, labels)
+    # reference: n_neighbors=min(6, len(samples)-1) (:86) — exactly the
+    # clamp embed_and_silhouettes applies to cfg.umap.n_neighbors (= 6),
+    # so the fused one-dispatch stage is a drop-in here too
+    clouds_3d, sil = embed_and_silhouettes(clouds, cfg, labels)
     dgms_per_layer = persistence_per_layer(clouds_3d, maxdim=cfg.rips.maxdim,
                                            backend=cfg.rips.backend)
 
