@@ -101,12 +101,18 @@ def train_loop(params: dict, cfg: QwenVLConfig, batches, n_steps: int,
     from tdax.utils.checkpoint import load_train_state, save_train_state
 
     opt = optimizer if optimizer is not None else default_optimizer()
-    opt_state = opt.init(params)
     start = 0
     if checkpoint_path and resume and os.path.exists(checkpoint_path + ".npz"):
-        params, opt_state, start = load_train_state(checkpoint_path, opt_state)
+        # load_train_state only needs the opt-state TREE STRUCTURE;
+        # eval_shape avoids materializing a full set of moments (2x
+        # params of HBM) that the loaded state would immediately replace.
+        opt_state_shape = jax.eval_shape(opt.init, params)
+        params, opt_state, start = load_train_state(checkpoint_path,
+                                                    opt_state_shape)
         if verbose:
             print(f"[tdax.train] resumed from step {start}", flush=True)
+    else:
+        opt_state = opt.init(params)
 
     step_fn = make_train_step(cfg, opt, with_images=with_images, remat=remat)
     losses = []

@@ -8,9 +8,47 @@ trees when available, flat .npz otherwise.
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
+
+# np.savez round-trips ml_dtypes leaves (bfloat16, float8_*) as raw
+# void arrays ('|V2'), silently corrupting them.  Such leaves are
+# stored as byte views with their dtype names recorded under this
+# reserved manifest key and restored on load.
+_DTYPE_MANIFEST_KEY = "__tdax_dtypes__"
+
+
+def _pack_leaf(arr: np.ndarray) -> tuple[np.ndarray, str | None]:
+    if arr.dtype.kind in "biufc":
+        return arr, None
+    return np.ascontiguousarray(arr).view(np.uint8), str(arr.dtype)
+
+
+def _unpack_leaf(arr: np.ndarray, dtype_name: str | None) -> np.ndarray:
+    if dtype_name is None:
+        return arr
+    import ml_dtypes  # noqa: F401  (registers bfloat16/float8 with numpy)
+
+    return arr.view(np.dtype(dtype_name))
+
+
+def _savez_packed(tmp_or_path: str, flat: dict) -> None:
+    packed, dtypes = {}, {}
+    for key, arr in flat.items():
+        packed[key], name = _pack_leaf(np.asarray(arr))
+        if name is not None:
+            dtypes[key] = name
+    packed[_DTYPE_MANIFEST_KEY] = np.frombuffer(
+        json.dumps(dtypes).encode(), dtype=np.uint8)
+    np.savez(tmp_or_path, **packed)
+
+
+def _load_manifest(z) -> dict:
+    if _DTYPE_MANIFEST_KEY not in z.files:
+        return {}
+    return json.loads(bytes(z[_DTYPE_MANIFEST_KEY]).decode())
 
 
 def save_params(path: str, params: dict) -> None:
@@ -33,7 +71,7 @@ def save_params(path: str, params: dict) -> None:
                 flat[key] = np.asarray(v)
 
     walk(params)
-    np.savez(path + ".npz", **flat)
+    _savez_packed(path + ".npz", flat)
 
 
 def save_train_state(path: str, params: dict, opt_state, step: int) -> None:
@@ -60,7 +98,7 @@ def save_train_state(path: str, params: dict, opt_state, step: int) -> None:
         flat[f"o/{i}"] = np.asarray(leaf)
     flat["step"] = np.asarray(step, dtype=np.int64)
     tmp = path + ".tmp.npz"
-    np.savez(tmp, **flat)
+    _savez_packed(tmp, flat)
     os.replace(tmp, path + ".npz")
 
 
@@ -71,6 +109,7 @@ def load_train_state(path: str, like_opt_state) -> tuple[dict, object, int]:
     import jax
 
     with np.load(path + ".npz") as z:
+        dtypes = _load_manifest(z)
         params: dict = {}
         opt_leaves: dict[int, np.ndarray] = {}
         step = 0
@@ -82,9 +121,9 @@ def load_train_state(path: str, like_opt_state) -> tuple[dict, object, int]:
                 node = params
                 for p in parts[:-1]:
                     node = node.setdefault(p, {})
-                node[parts[-1]] = z[key]
+                node[parts[-1]] = _unpack_leaf(z[key], dtypes.get(key))
             elif key.startswith("o/"):
-                opt_leaves[int(key[2:])] = z[key]
+                opt_leaves[int(key[2:])] = _unpack_leaf(z[key], dtypes.get(key))
         treedef = jax.tree_util.tree_structure(like_opt_state)
         leaves = [opt_leaves[i] for i in range(len(opt_leaves))]
         opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
@@ -97,11 +136,14 @@ def load_params(path: str, like: dict | None = None) -> dict:
         ckptr = ocp.StandardCheckpointer()
         return ckptr.restore(os.path.abspath(path), like)
     with np.load(path + ".npz") as z:
+        dtypes = _load_manifest(z)
         tree: dict = {}
         for key in z.files:
+            if key == _DTYPE_MANIFEST_KEY:
+                continue
             parts = key.split("/")
             node = tree
             for p in parts[:-1]:
                 node = node.setdefault(p, {})
-            node[parts[-1]] = z[key]
+            node[parts[-1]] = _unpack_leaf(z[key], dtypes.get(key))
         return tree
