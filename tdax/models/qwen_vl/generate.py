@@ -47,11 +47,21 @@ def sample_logits(logits: jnp.ndarray, key: jax.Array,
     measure-zero logit ties)."""
     if temperature == 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return _filter_and_sample(logits, key, temperature, top_k,
+                              top_p < 1.0, top_p)
+
+
+def _filter_and_sample(logits, key, temperature, top_k: int,
+                       top_p_enabled: bool, top_p) -> jnp.ndarray:
+    """sample_logits' sampled branch with ``temperature``/``top_p`` as
+    (possibly traced) scalars; only ``top_k`` (a lax.top_k shape) and
+    the top-p gate are static — so a jitted caller can sweep
+    temperature/top_p values without recompiling."""
     logits = (logits / temperature).astype(jnp.float32)
     if top_k > 0:
         kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
-    if top_p < 1.0:
+    if top_p_enabled:
         desc = jnp.sort(logits, axis=-1)[:, ::-1]
         probs = jax.nn.softmax(desc, axis=-1)
         csum = jnp.cumsum(probs, axis=-1)
@@ -175,10 +185,6 @@ def _decode_step(params, cfg: QwenVLConfig, tok, cur_pos, ks, vs):
     return logits, new_ks, new_vs
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens",
-                                             "temperature", "top_k",
-                                             "top_p", "eos_token_id",
-                                             "pad_token_id", "kv_int8"))
 def generate(params, cfg: QwenVLConfig, input_ids, attn_mask,
              max_new_tokens: int = 32,
              images=None, image_positions=None,
@@ -198,7 +204,39 @@ def generate(params, cfg: QwenVLConfig, input_ids, attn_mask,
     masked).  ``kv_int8`` stores the K/V caches in int8 with
     per-(token, head) scales — half the cache HBM, ~1e-2 activation
     rounding in attention only (weights/live math untouched).
+
+    Only STRUCTURAL knobs are compile-time static (greedy-vs-sampled,
+    top_k — a lax.top_k shape, top-p on/off, eos set/unset, kv_int8,
+    max_new_tokens); the temperature/top_p/eos/pad VALUES are dynamic
+    scalars, so a serving loop sweeping them reuses one compiled
+    program (recompiles here cost seconds-to-minutes on a relayed TPU).
     """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    sampled = temperature != 0.0
+    return _generate_core(
+        params, cfg, input_ids, attn_mask, max_new_tokens,
+        images, image_positions,
+        jnp.float32(temperature if sampled else 1.0), sampled,
+        top_k, jnp.float32(top_p), top_p < 1.0,
+        jnp.int32(eos_token_id if eos_token_id is not None else -1),
+        eos_token_id is not None,
+        jnp.int32(pad_token_id), key, kv_int8)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens",
+                                             "sampled", "top_k",
+                                             "top_p_enabled", "has_eos",
+                                             "kv_int8"))
+def _generate_core(params, cfg: QwenVLConfig, input_ids, attn_mask,
+                   max_new_tokens: int,
+                   images, image_positions,
+                   temperature, sampled: bool,
+                   top_k: int, top_p, top_p_enabled: bool,
+                   eos_token_id, has_eos: bool,
+                   pad_token_id,
+                   key: jax.Array,
+                   kv_int8: bool) -> jnp.ndarray:
     b, t = input_ids.shape
     t_max = t + max_new_tokens
     lengths = jnp.sum(attn_mask, axis=1).astype(jnp.int32)  # [B]
@@ -212,15 +250,15 @@ def generate(params, cfg: QwenVLConfig, input_ids, attn_mask,
     last_h = rms_norm(last_h, params["ln_f"], cfg.layer_norm_eps)
     first_logits = qdot(last_h, params["lm_head"]).astype(jnp.float32)
 
-    if key is None:
-        key = jax.random.PRNGKey(0)
-
     def pick(logits, k):
-        return sample_logits(logits, k, temperature, top_k, top_p)
+        if not sampled:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return _filter_and_sample(logits, k, temperature, top_k,
+                                  top_p_enabled, top_p)
 
     key, k0 = jax.random.split(key)  # never reuse a consumed key
     tok0 = pick(first_logits, k0)
-    done0 = (tok0 == eos_token_id) if eos_token_id is not None \
+    done0 = (tok0 == eos_token_id) if has_eos \
         else jnp.zeros_like(tok0, dtype=bool)
     if max_new_tokens == 1:
         return tok0[:, None]
@@ -230,11 +268,11 @@ def generate(params, cfg: QwenVLConfig, input_ids, attn_mask,
         k, sub = jax.random.split(k)
         logits, ks, vs = _decode_step(params, cfg, tok, lengths + i, ks, vs)
         nxt = pick(logits, sub)
-        if eos_token_id is not None:
+        if has_eos:
             # a finished sample emits pad from the step AFTER its EOS on;
             # the decode still runs (static scan trip count under jit) but
             # its output is masked, so the returned ids are final
-            nxt = jnp.where(done, jnp.int32(pad_token_id), nxt)
+            nxt = jnp.where(done, pad_token_id, nxt)
             done = done | (nxt == eos_token_id)
         return (nxt, done, ks, vs, k), nxt
 

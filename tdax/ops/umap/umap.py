@@ -239,6 +239,41 @@ def batched_embed_fn(cfg: UMAPConfig, k: int, n_epochs: int,
     return run
 
 
+@functools.lru_cache(maxsize=32)
+def batched_embed_jitted(cfg: UMAPConfig, k: int, n_epochs: int,
+                         a: float, b: float):
+    """jit of batched_embed_fn, cached per hyperparameter tuple so
+    repeat sweeps hit the jit cache instead of re-tracing the
+    n_epochs-step vmapped program on every call."""
+    return jax.jit(batched_embed_fn(cfg, k, n_epochs, a, b))
+
+
+def clouds_to_device_f32(clouds) -> jnp.ndarray:
+    """Single policy for cloud-stack ingestion, shared by
+    fit_transform_batched and the fused pipeline program
+    (tda_sweep.embed_and_silhouettes): device-resident ``jax.Array``
+    input passes through without a host round-trip (the product path —
+    activation clouds are born in HBM; np.asarray would download and
+    re-upload them), anything else is uploaded once as f32."""
+    if isinstance(clouds, jax.Array):
+        return clouds.astype(jnp.float32)
+    return jnp.asarray(np.asarray(clouds), dtype=jnp.float32)
+
+
+def shard_layer_axis(cj: jnp.ndarray) -> jnp.ndarray:
+    """Shard the leading (layer) axis across the visible devices when it
+    divides evenly: on a v5e-8 each device embeds n_layers/8 clouds of
+    the vmapped program in parallel (the 32-layer sweep's scale-out
+    axis, SURVEY §3.3).  Shared by fit_transform_batched and the fused
+    pipeline program."""
+    devices = jax.devices()
+    if len(devices) > 1 and cj.shape[0] % len(devices) == 0:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        mesh = Mesh(np.array(devices), ("layers",))
+        cj = jax.device_put(cj, NamedSharding(mesh, P("layers")))
+    return cj
+
+
 def fit_transform_batched(clouds: np.ndarray, cfg: UMAPConfig | None = None,
                           n_neighbors: int | None = None) -> np.ndarray:
     """Embed a stack of clouds [L, n, D] -> [L, n, n_components] in ONE
@@ -249,29 +284,14 @@ def fit_transform_batched(clouds: np.ndarray, cfg: UMAPConfig | None = None,
     (debug_tda_pipeline.py:96-102).
     """
     cfg = cfg or UMAPConfig()
-    if isinstance(clouds, jax.Array):
-        # device-resident pass-through (the product path: activation
-        # clouds come straight out of model capture and live in HBM —
-        # np.asarray here would round-trip them through the host)
-        clouds = clouds.astype(jnp.float32)
-    else:
-        clouds = jnp.asarray(np.asarray(clouds), dtype=jnp.float32)
-    n_layers, n, _ = clouds.shape
+    clouds = clouds_to_device_f32(clouds)
+    n = clouds.shape[1]
     if n < 2:
         raise ValueError(f"UMAP requires at least 2 samples per cloud, got {n}")
     k = n_neighbors if n_neighbors is not None else min(cfg.n_neighbors, n - 1)
     a, b = find_ab_params(cfg.spread, cfg.min_dist)
     n_epochs = _default_epochs(n, cfg.n_epochs)
 
-    run = jax.jit(batched_embed_fn(cfg, k, n_epochs, a, b))
-
-    # shard the layer axis across the mesh when it divides evenly: on a
-    # v5e-8 each device embeds n_layers/8 clouds of the vmapped program
-    # in parallel (the 32-layer sweep's scale-out axis, SURVEY §3.3).
-    devices = jax.devices()
-    if len(devices) > 1 and n_layers % len(devices) == 0:
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-        mesh = Mesh(np.array(devices), ("layers",))
-        clouds = jax.device_put(clouds, NamedSharding(mesh, P("layers")))
-
+    run = batched_embed_jitted(cfg, k, n_epochs, a, b)
+    clouds = shard_layer_axis(clouds)
     return np.asarray(run(clouds, jax.random.PRNGKey(cfg.random_state)))

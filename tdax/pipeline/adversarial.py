@@ -34,9 +34,16 @@ def compute_tda_for_condition(condition: str, clouds: np.ndarray,
     diag_dir = ensure_dir(os.path.join(output_subdir, "diagrams"))
     cloud_dir = ensure_dir(os.path.join(output_subdir, "point_clouds"))
 
-    # reference: n_neighbors=min(6, len(samples)-1) (:86) — exactly the
-    # clamp embed_and_silhouettes applies to cfg.umap.n_neighbors (= 6),
-    # so the fused one-dispatch stage is a drop-in here too
+    # reference: a fresh per-condition UMAP with
+    # n_neighbors=min(6, len(samples)-1) (analyze_adversarial_tda.py:85-91)
+    # — embed_and_silhouettes applies the same clamp to
+    # cfg.umap.n_neighbors (default 6).  The adversarial analysis is
+    # per-layer fit unconditionally; cfg.reducer_mode is the MAIN
+    # sweep's legacy shared-camera switch and must not reroute this
+    # path, so it is pinned here.
+    if cfg.reducer_mode != "per_layer":
+        import dataclasses
+        cfg = dataclasses.replace(cfg, reducer_mode="per_layer")
     clouds_3d, sil = embed_and_silhouettes(clouds, cfg, labels)
     dgms_per_layer = persistence_per_layer(clouds_3d, maxdim=cfg.rips.maxdim,
                                            backend=cfg.rips.backend)

@@ -22,6 +22,7 @@ analyze_tda_over_layers.py:126).
 from __future__ import annotations
 
 import concurrent.futures as cf
+import functools
 import os
 import shutil
 
@@ -57,6 +58,34 @@ def batched_silhouettes(clouds: np.ndarray, label_sets: dict[str, list[str]]) ->
     return out
 
 
+@functools.lru_cache(maxsize=16)
+def _fused_embed_silhouettes_jitted(ucfg, k: int, n: int,
+                                    label_structure: tuple):
+    """One jitted (embed + all silhouettes) program per (hyperparams,
+    cloud size, label-set structure), cached so repeat sweeps — e.g.
+    bench medians and the product loop — skip the n_epochs-step
+    retrace.  ``label_structure`` is a sorted (name, n_classes) tuple;
+    the label encodings themselves are dynamic arguments."""
+    from tdax.ops.umap.umap import (_default_epochs, batched_embed_fn,
+                                    find_ab_params)
+    a, b = find_ab_params(ucfg.spread, ucfg.min_dist)
+    n_epochs = _default_epochs(n, ucfg.n_epochs)
+    embed = batched_embed_fn(ucfg, k, n_epochs, a, b)
+    n_classes = dict(label_structure)
+
+    @jax.jit
+    def run(cs, key, enc_arrays):
+        embs = embed(cs, key)
+        sils = {}
+        for name, enc in enc_arrays.items():
+            nc = n_classes[name]
+            sils[name] = jax.vmap(lambda e, _enc=enc: silhouette_jax(
+                e, _enc, nc))(embs)
+        return embs, sils
+
+    return run
+
+
 def embed_and_silhouettes(clouds, cfg: SweepConfig,
                           label_sets: dict[str, list[str]]
                           ) -> tuple[np.ndarray, dict[str, np.ndarray]]:
@@ -70,38 +99,17 @@ def embed_and_silhouettes(clouds, cfg: SweepConfig,
         c3 = embed_layers(clouds, cfg).astype(np.float32)
         return c3, batched_silhouettes(c3, label_sets)
 
-    from tdax.ops.umap.umap import (_default_epochs, batched_embed_fn,
-                                    find_ab_params)
+    from tdax.ops.umap.umap import clouds_to_device_f32, shard_layer_axis
     ucfg = cfg.umap
-    if isinstance(clouds, jax.Array):
-        cj = clouds.astype(jnp.float32)
-    else:
-        cj = jnp.asarray(np.asarray(clouds), dtype=jnp.float32)
-    n_layers, n, _ = cj.shape
+    cj = clouds_to_device_f32(clouds)
+    n = cj.shape[1]
+    if n < 2:
+        raise ValueError(f"UMAP requires at least 2 samples per cloud, got {n}")
     k = min(ucfg.n_neighbors, n - 1)
-    a, b = find_ab_params(ucfg.spread, ucfg.min_dist)
-    n_epochs = _default_epochs(n, ucfg.n_epochs)
-    embed = batched_embed_fn(ucfg, k, n_epochs, a, b)
     encs = {name: _encode_labels(labels) for name, labels in label_sets.items()}
-    n_classes = {name: nc for name, (_, nc) in encs.items()}
-
-    @jax.jit
-    def run(cs, key, enc_arrays):
-        embs = embed(cs, key)
-        sils = {}
-        for name, enc in enc_arrays.items():
-            nc = n_classes[name]
-            sils[name] = jax.vmap(lambda e, _enc=enc: silhouette_jax(
-                e, _enc, nc))(embs)
-        return embs, sils
-
-    # same layer-axis scale-out as fit_transform_batched
-    devices = jax.devices()
-    if len(devices) > 1 and n_layers % len(devices) == 0:
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-        mesh = Mesh(np.array(devices), ("layers",))
-        cj = jax.device_put(cj, NamedSharding(mesh, P("layers")))
-
+    run = _fused_embed_silhouettes_jitted(
+        ucfg, k, n, tuple(sorted((name, nc) for name, (_, nc) in encs.items())))
+    cj = shard_layer_axis(cj)
     embs, sils = run(cj, jax.random.PRNGKey(ucfg.random_state),
                      {name: jnp.asarray(enc) for name, (enc, _) in encs.items()})
     return (np.asarray(embs).astype(np.float32),

@@ -172,6 +172,23 @@ def test_generate_with_sampling_filters(setup):
     assert a.shape == c.shape == (2, 6)
 
 
+def test_generate_value_sweeps_do_not_recompile(setup):
+    """temperature/top_p/eos/pad VALUES are dynamic scalars: a serving
+    loop sweeping them must reuse one compiled program (only structural
+    gates — greedy-vs-sampled, top_k, top-p on/off, eos set — retrace)."""
+    from tdax.models.qwen_vl.generate import _generate_core
+
+    params, ids, mask = setup
+    kw = dict(max_new_tokens=4, key=jax.random.PRNGKey(0))
+    generate(params, CFG, ids, mask, temperature=0.7, top_p=0.9,
+             eos_token_id=3, pad_token_id=0, **kw)
+    n0 = _generate_core._cache_size()
+    generate(params, CFG, ids, mask, temperature=0.9, top_p=0.95,
+             eos_token_id=5, pad_token_id=-1, **kw)
+    assert _generate_core._cache_size() == n0, \
+        "sampling-value sweep triggered a recompile"
+
+
 def test_generate_eos_masks_tail(setup):
     """With eos_token_id set, every token after a sample's first EOS is
     pad, and tokens up to (and incl.) the EOS match the unmasked run."""
