@@ -28,8 +28,10 @@ Deviation notes (documented, downstream-invariant — SURVEY §7 #2):
     matching umap-learn's unbounded per-edge counts.
 
 umap quirks kept faithfully (in expectation): a negative draw equal to
-the edge's tail at zero distance is skipped; any other zero-distance
-draw applies the constant +4-per-dimension kick; edges below
+the HEAD vertex itself at zero distance is skipped (umap-learn's
+``elif j == k: continue`` compares the draw against ``j = head[i]``);
+any other zero-distance draw — including a coincident edge tail —
+applies the constant +4-per-dimension kick; edges below
 max_weight/n_epochs are pruned before scheduling; schedules start at
 epochs_per_sample.
 """
@@ -62,13 +64,17 @@ def _epoch_forces(head, tail, graph_active, n_neg, a, b, gamma):
 
     Repulsion is umap's negative sampling in exact expectation: each
     owed draw is uniform over the nt tails, skipped only when it lands
-    on the edge's own tail at zero distance, with the +4 kick on any
+    on the HEAD vertex itself at zero distance (umap-learn's
+    ``elif j == k: continue`` with j the head), with the +4 kick on any
     other zero-distance draw.  E[force_i] = (M_i * S_i - 4 * Z_i) / nt
-    where S_i sums the per-pair repulsive gradients over all tails,
-    M_i = sum_j n_neg[i, j], and Z_i = sum_j n_neg[i, j] * [d2(i,j)=0]
-    removes the skipped zero-distance tail terms; the expected on-count
-    is M_i - Z_i / nt.  Everything reuses the attraction's diff/d2 —
-    no gathers, no RNG.
+    where S_i sums the per-pair repulsive gradients (kicks included)
+    over all tails, M_i = sum_j n_neg[i, j], and
+    Z_i = M_i * [d2(i, i) = 0, i < nt] removes the skipped self-draw
+    kick (in fit mode the diagonal is exactly zero, so the self-draw is
+    always skipped; in transform mode head i and tail i are different
+    points and the skip only fires if they coincide — umap compares the
+    raw indices there too); the expected on-count is M_i - Z_i / nt.
+    Everything reuses the attraction's diff/d2 — no gathers, no RNG.
     """
     nt = tail.shape[0]
     # --- shared pairwise geometry ---
@@ -95,7 +101,10 @@ def _epoch_forces(head, tail, graph_active, n_neg, a, b, gamma):
     rep_grad = jnp.where(zero_d[:, :, None], 4.0, rep_grad)      # +4 kick
     s_i = jnp.sum(rep_grad, axis=1)                              # [nh, d]
     m_i = jnp.sum(n_neg, axis=1)                                 # [nh]
-    z_i = jnp.sum(n_neg * zero_d.astype(head.dtype), axis=1)     # [nh]
+    idx = jnp.arange(head.shape[0])
+    self_zero = jnp.where(idx < nt, zero_d[idx, jnp.minimum(idx, nt - 1)],
+                          False).astype(head.dtype)              # [nh]
+    z_i = m_i * self_zero
     head_force = head_force + (m_i[:, None] * s_i - 4.0 * z_i[:, None]) / nt
     head_count = head_count + m_i - z_i / nt
     return head_force, head_count, tail_force, tail_count

@@ -371,7 +371,8 @@ def _layout_edges_impl(init: jnp.ndarray,
 
     Same semantics: per-edge epochs_per_sample schedules, attractive
     gradient -2ab d^(2b-2)/(1+a d^2b) with recoil on tails, negative
-    sampling with the zero-distance +4 kick and the draw==tail skip,
+    sampling with the zero-distance +4 kick and the zero-distance
+    self-draw skip (umap-learn's ``elif j == k: continue``),
     per-dimension clip to [-4, 4], mean-force stabilizer, alpha linear
     to 0.  O(E * neg * d) per epoch via segment sums.
 
@@ -399,9 +400,10 @@ def _layout_edges_impl(init: jnp.ndarray,
     alpha absorbs (structure tests hold).  Two micro-semantics move
     with it: the ±4 clip bounds each *slot* (so a point's repulsion is
     bounded by 4*m_i either way, at coarser granularity), and the
-    zero-distance skip applies to self-draws (d==0 with itself) rather
-    than each edge's own tail — at zero distance vs anything else the
-    +4 kick applies, as before."""
+    zero-distance self-draw skip is per POINT rather than per edge —
+    the same convention as umap-learn and the dense path's mean-field
+    form; at zero distance vs anything else the +4 kick applies, as
+    before."""
     E = head.shape[0]
     a32, b32, g32 = jnp.float32(a), jnp.float32(b), jnp.float32(gamma)
     NEG_POOL = 16

@@ -145,9 +145,10 @@ def test_mean_field_repulsion_is_exact_expectation():
     """The dense layout's mean-field repulsion (layout._epoch_forces) must
     equal the EXACT expectation of umap's per-edge negative sampling —
     each active edge (i, j) owes n_neg[i, j] draws uniform over the nt
-    tails, a draw k==j at zero distance is skipped, any other
-    zero-distance draw applies the +4-per-dimension kick.  Oracle: direct
-    enumeration over all (edge, draw) pairs in numpy, including
+    tails; a draw equal to the HEAD vertex i at zero distance is skipped
+    (umap-learn's ``elif j == k: continue``, j being the head), any
+    other zero-distance draw applies the +4-per-dimension kick.  Oracle:
+    direct enumeration over all (edge, draw) pairs in numpy, including
     duplicate-point geometry so both zero-distance branches fire."""
     from tdax.ops.umap.layout import _epoch_forces
 
@@ -186,8 +187,8 @@ def test_mean_field_repulsion_is_exact_expectation():
                 for k in range(nt):
                     kdiff = (emb[i] - emb[k]).astype(np.float64)
                     kd2 = float(kdiff @ kdiff)
-                    if kd2 <= 0.0 and k == j:
-                        continue                     # umap's skip
+                    if kd2 <= 0.0 and k == i:
+                        continue                     # umap's self-draw skip
                     if kd2 <= 0.0:
                         term = np.full(d, 4.0)       # umap's +4 kick
                     else:
