@@ -46,15 +46,24 @@ def _encode_labels(labels: list[str]) -> tuple[np.ndarray, int]:
     return enc.astype(np.int32), int(enc.max()) + 1
 
 
+@functools.lru_cache(maxsize=16)
+def _silhouette_vmapped_jitted(n_classes: int):
+    """Per-layer silhouette program, cached per class count (the label
+    encoding is a dynamic argument, so repeat calls — any label set of
+    the same cardinality — reuse one compiled program)."""
+    return jax.jit(jax.vmap(lambda c, e: silhouette_jax(c, e, n_classes),
+                            in_axes=(0, None)))
+
+
 def batched_silhouettes(clouds: np.ndarray, label_sets: dict[str, list[str]]) -> dict[str, np.ndarray]:
     """Silhouette of every layer cloud against every label set — one
-    vmapped program per label set."""
+    vmapped program per label-set cardinality."""
     cj = jnp.asarray(clouds, dtype=jnp.float32)
     out: dict[str, np.ndarray] = {}
     for name, labels in label_sets.items():
         enc, n_classes = _encode_labels(labels)
-        fn = jax.jit(jax.vmap(lambda c: silhouette_jax(c, jnp.asarray(enc), n_classes)))
-        out[name] = np.asarray(fn(cj))
+        fn = _silhouette_vmapped_jitted(n_classes)
+        out[name] = np.asarray(fn(cj, jnp.asarray(enc)))
     return out
 
 
