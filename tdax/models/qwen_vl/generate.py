@@ -66,6 +66,12 @@ def _filter_and_sample(logits, key, temperature, top_k: int,
         probs = jax.nn.softmax(desc, axis=-1)
         csum = jnp.cumsum(probs, axis=-1)
         keep = (csum - probs) < top_p          # mass BEFORE this token
+        # the docstring's "first token is always kept" must hold for
+        # ANY dynamic top_p: at top_p <= 0 an all-False keep would make
+        # cutoff +inf, every logit -inf, and categorical silently emit
+        # token 0 for all rows — a misconfigured sweep value degrades
+        # to greedy instead of degenerate output
+        keep = keep.at[:, 0].set(True)
         cutoff = jnp.min(jnp.where(keep, desc, jnp.inf), axis=-1,
                          keepdims=True)
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)

@@ -26,18 +26,25 @@ Off-TPU (tests, CPU mesh dryrun) the dispatcher falls back to the
 reference einsum path; the kernel itself stays testable anywhere via
 Pallas interpret mode.
 
-Multi-chip note: under jit+GSPMD the partitioner treats a pallas_call
-as opaque — for sharded multi-chip runs wrap the model step in
-shard_map (batch/head dims are fully parallel here, no cross-device
-reduction inside attention), or run with TDAX_NO_FLASH=1; the
-single-chip capture/serving paths (where the MFU target lives) hit the
-kernel directly.
+Multi-chip: the XLA partitioner treats a pallas_call as opaque, but
+batch and head dims are fully parallel here (no cross-device reduction
+inside attention), so ``mha`` runs the kernel per-shard under
+``jax.shard_map`` whenever a ``flash_sharding(mesh, ...)`` context is
+active — the extraction pipeline activates it automatically for its dp
+mesh.  Without a context, ``mha`` refuses the kernel (loudly) for
+eagerly-sharded multi-device inputs and takes the partitionable einsum
+path instead; TDAX_NO_FLASH=1 forces that path everywhere.
+TDAX_FLASH_INTERPRET=1 forces the Pallas path in interpret mode even
+off-TPU — this is how the multi-chip dryrun proves the kernel (not its
+fallback) is what a sharded mesh executes.
 """
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
+import warnings
 
 import numpy as np
 
@@ -45,6 +52,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
 
 NEG_INF = -1e30  # matches the additive-mask convention in decoder.causal_mask
 
@@ -74,12 +82,67 @@ class AttnSpec:
         return jnp.where(keyed, 0.0, NEG_INF)[:, None, :, :].astype(jnp.float32)
 
 
-def flash_enabled() -> bool:
+def flash_mode() -> str | None:
+    """"tpu" (compiled kernel), "interpret" (Pallas interpret mode,
+    any backend — dryrun/CI coverage of the real kernel path), or None
+    (einsum fallback)."""
     if os.environ.get("TDAX_NO_FLASH") == "1":
-        return False
+        return None
+    if os.environ.get("TDAX_FLASH_INTERPRET") == "1":
+        return "interpret"
     try:
-        return jax.default_backend() == "tpu"
+        return "tpu" if jax.default_backend() == "tpu" else None
     except Exception:  # pragma: no cover - backend probing never fatal
+        return None
+
+
+def flash_enabled() -> bool:
+    return flash_mode() is not None
+
+
+# Active (mesh, batch_axis, head_axis) for multi-chip flash — a stack so
+# nested scopes restore correctly.  Set via flash_sharding().
+_SHARD_CTX: list[tuple] = []
+
+
+@contextlib.contextmanager
+def flash_sharding(mesh, batch_axis: str | None = "dp",
+                   head_axis: str | None = None):
+    """Declare how attention inputs are sharded so ``mha`` can run the
+    Pallas kernel per-shard under ``jax.shard_map``.
+
+    Batch and head are the kernel's fully-parallel dims; q/k/v are
+    treated as P(batch_axis, None, head_axis, None) and the key-validity
+    bias as P(batch_axis, None).  Sequence/head_dim sharding is not
+    supported (attention reduces over keys) — leave those axes off the
+    mesh or use TDAX_NO_FLASH=1.  This replaces the reference's
+    device_map="auto" placement (extract_activations.py:26) for the
+    attention hot path."""
+    _SHARD_CTX.append((mesh, batch_axis, head_axis))
+    try:
+        yield
+    finally:
+        _SHARD_CTX.pop()
+
+
+def current_flash_sharding():
+    return _SHARD_CTX[-1] if _SHARD_CTX else None
+
+
+@functools.lru_cache(maxsize=8)
+def _warn_once(msg: str) -> None:
+    warnings.warn(msg, stacklevel=3)
+
+
+def _eagerly_multidevice(x) -> bool:
+    """True only for a CONCRETE array committed across >1 device; under
+    jit tracing (no sharding visible) this returns False — there the
+    flash_sharding context is the mechanism."""
+    try:
+        if isinstance(x, jax.core.Tracer):
+            return False
+        return len(x.sharding.device_set) > 1
+    except Exception:
         return False
 
 
@@ -324,16 +387,49 @@ def mha(q, k, v, mask) -> jnp.ndarray:
 
     q [B, Tq, nh, hd], k/v [B, Tk, nh, hd]; ``mask`` is either an
     additive array broadcastable to [B, nh, Tq, Tk] (decode path) or an
-    ``AttnSpec`` — specs take the fused Pallas kernel on TPU and the
-    reference einsum path elsewhere.  Returns [B, Tq, nh, hd]."""
+    ``AttnSpec`` — specs take the fused Pallas kernel (on TPU, or any
+    backend under TDAX_FLASH_INTERPRET=1) and the reference einsum path
+    elsewhere.  Under an active ``flash_sharding(mesh)`` context the
+    kernel runs per-shard via shard_map (batch/head parallel); eagerly
+    multi-device inputs with no context fall back to the einsum path
+    with a warning rather than hitting an unpartitionable pallas_call.
+    Returns [B, Tq, nh, hd]."""
     if isinstance(mask, AttnSpec):
-        if flash_enabled():
-            b, tk = q.shape[0], k.shape[1]
+        mode = flash_mode()
+        if mode is not None:
+            b, nh, tk = q.shape[0], q.shape[2], k.shape[1]
             if mask.kv_valid is not None:
                 bias = jnp.where(mask.kv_valid > 0, 0.0, NEG_INF
                                  ).astype(jnp.float32)
             else:
                 bias = jnp.zeros((b, tk), jnp.float32)
-            return _get_flash(mask.causal, False)(q, k, v, bias)
+            fn = _get_flash(mask.causal, mode == "interpret")
+            ctx = current_flash_sharding()
+            if ctx is not None:
+                mesh, b_ax, h_ax = ctx
+                n_b = mesh.shape[b_ax] if b_ax else 1
+                n_h = mesh.shape[h_ax] if h_ax else 1
+                if b % n_b == 0 and nh % n_h == 0:
+                    spec = P(b_ax, None, h_ax, None)
+                    # check_vma=False: pallas_call's out_shape carries no
+                    # varying-mesh-axes annotation; the kernel is purely
+                    # per-shard (no collectives), so the check adds nothing
+                    return jax.shard_map(
+                        fn, mesh=mesh,
+                        in_specs=(spec, spec, spec, P(b_ax, None)),
+                        out_specs=spec, check_vma=False)(q, k, v, bias)
+                _warn_once(
+                    f"flash_sharding mesh axes ({b_ax}={n_b}, {h_ax}={n_h})"
+                    f" do not divide attention dims (batch={b}, heads={nh});"
+                    " using the XLA einsum attention path")
+            elif _eagerly_multidevice(q):
+                _warn_once(
+                    "flash attention input is committed across multiple"
+                    " devices with no flash_sharding(mesh) context —"
+                    " falling back to the partitionable XLA einsum path."
+                    " Wrap the call in tdax.ops.flash_attention."
+                    "flash_sharding(mesh) to keep the fused kernel.")
+            else:
+                return fn(q, k, v, bias)
         mask = mask.additive(q.shape[1], k.shape[1], q.shape[0])
     return _reference_mha(q, k, v, mask)

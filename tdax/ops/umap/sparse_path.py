@@ -12,8 +12,9 @@ kNN graph's edge list:
     (identical math to fuzzy.py — shared functions);
   * fuzzy symmetrization W = A + A^T - A o A^T on the host as a sparse
     COO merge (n*k entries; numpy, deterministic);
-  * spectral init by orthogonal iteration on the normalized adjacency
-    with segment-sum matvecs (no [n, n] Laplacian, no eigh);
+  * spectral init by block LOBPCG on the deflated normalized adjacency
+    with segment-sum matvecs (no [n, n] Laplacian, no eigh) — umap's
+    default ``init='spectral'`` semantics at any n;
   * the SGD layout as a lax.scan over epochs with per-edge sampling
     schedules and per-epoch negative draws — O(E * neg * d) per epoch,
     deterministic under the key, same gradient/clip/schedule semantics
@@ -337,16 +338,66 @@ def spectral_init_edges(head: jnp.ndarray, tail: jnp.ndarray, w: jnp.ndarray,
     return (emb + noise).astype(jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("n", "n_components", "m"))
+def spectral_init_lobpcg(head: jnp.ndarray, tail: jnp.ndarray,
+                         w: jnp.ndarray, n: int, n_components: int,
+                         key: jax.Array, m: int = 400) -> jnp.ndarray:
+    """umap-learn's ``init='spectral'`` semantics at scale: the bottom
+    non-trivial eigenvectors of the normalized Laplacian
+    L = I - D^-1/2 W D^-1/2 of the symmetrized fuzzy graph
+    (debug_tda_pipeline.py:96-102 uses umap defaults), scaled to
+    max-abs 10 with the 1e-4 jitter — the contract the dense path's
+    ``spectral_init`` (eigh) fulfils below the threshold.
+
+    Computed by block LOBPCG (jax.experimental.sparse.linalg) on the
+    spectral complement B = I + M - 2 v0 v0^T, where M = D^-1/2 W D^-1/2
+    and v0 = sqrt(deg)/||sqrt(deg)|| is L's trivial null vector:
+    eig(B) = 2 - eig(L) on v0's orthogonal complement and the deflation
+    maps the trivial pair to 0, so LOBPCG's TOP n_components of B are
+    exactly the bottom non-trivial of L in ascending Laplacian order.
+    The matvec is the edge-list segment sum — no [n, n] materialization.
+    Disconnected graphs work unchanged: the remaining eigenvalue-2
+    eigenvectors of B are per-component indicators, so components
+    separate in the init (same property as the dense path).  Plain
+    (unblocked, unshifted) orthogonal iteration failed here — manifold
+    kNN graphs have near-degenerate bottom spectra — which is why the
+    earlier revision substituted PCA; LOBPCG's Rayleigh–Ritz over the
+    [X, R, P] block handles exactly that regime."""
+    from jax.experimental.sparse.linalg import lobpcg_standard
+
+    deg = jax.ops.segment_sum(w, head, num_segments=n,
+                              indices_are_sorted=True)
+    inv_sqrt = jnp.where(deg > 0, 1.0 / jnp.sqrt(jnp.maximum(deg, 1e-12)), 0.0)
+    v0 = jnp.sqrt(jnp.maximum(deg, 0.0))
+    v0 = v0 / jnp.maximum(jnp.linalg.norm(v0), 1e-12)
+    coef = (w * inv_sqrt[head] * inv_sqrt[tail]).astype(jnp.float32)
+
+    def bmat(vblock):  # [n, k] -> [n, k]
+        mv = jax.ops.segment_sum(coef[:, None] * vblock[tail], head,
+                                 num_segments=n, indices_are_sorted=True)
+        return vblock + mv - 2.0 * v0[:, None] * (v0 @ vblock)[None, :]
+
+    # two guard vectors: convergence of the k-th Ritz vector is governed
+    # by the gap to the (block+1)-th eigenvalue, and manifold graphs have
+    # near-degenerate pairs right at the cut (measured: the 3rd column
+    # leaked toward eigenvector 4 without guards)
+    block = n_components + 2
+    x0 = jax.random.normal(key, (n, block), jnp.float32)
+    x0 = x0 - v0[:, None] * (v0 @ x0)[None, :]
+    _, u, _ = lobpcg_standard(bmat, x0, m=m)
+    emb = u[:, :n_components]  # descending in B == Laplacian ascending
+    emb = emb * (10.0 / jnp.maximum(jnp.max(jnp.abs(emb)), 1e-12))
+    noise = jax.random.normal(jax.random.fold_in(key, 1), emb.shape,
+                              emb.dtype) * 1e-4
+    return (emb + noise).astype(jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("n_components",))
 def pca_init(x: jnp.ndarray, n_components: int, key: jax.Array) -> jnp.ndarray:
-    """PCA initialization for the large-n path, scaled to max-abs 10
-    with the usual 1e-4 jitter.
-
-    Spectral init via plain orthogonal iteration cannot converge here:
-    manifold-like kNN graphs have near-degenerate bottom Laplacian
-    spectra (gap ~ 1/n^2 on a ring), which umap-learn handles with
-    shift-invert Lanczos.  PCA is one [d, d] eigh on the MXU, globally
-    faithful, and a standard UMAP init choice."""
+    """PCA initialization (TDAX_UMAP_INIT=pca escape hatch), scaled to
+    max-abs 10 with the usual 1e-4 jitter: one [d, d] eigh on the MXU,
+    globally faithful, a standard UMAP init choice — but not umap's
+    default semantics, which spectral_init_lobpcg provides."""
     mu = jnp.mean(x, axis=0)
     xc = x - mu
     cov = jnp.dot(xc.T, xc, preferred_element_type=jnp.float32)
@@ -807,7 +858,15 @@ def embed_sparse(x: np.ndarray, n_neighbors: int, n_components: int,
     t["sym_s"] = time.time() - t0
     k_init, k_layout = jax.random.split(key)
     t0 = time.time()
-    init = pca_init(xj, n_components, k_init)
+    # umap-learn's default init='spectral' semantics (the reference runs
+    # umap defaults, debug_tda_pipeline.py:96-102); TDAX_UMAP_INIT=pca
+    # keeps the cheaper PCA init available for huge clouds
+    import os as _os
+    if _os.environ.get("TDAX_UMAP_INIT") == "pca":
+        init = pca_init(xj, n_components, k_init)
+    else:
+        init = spectral_init_lobpcg(head_j, tail_j, wgt_j, n,
+                                    n_components, k_init)
     init.block_until_ready()
     t["init_s"] = time.time() - t0
     t0 = time.time()

@@ -115,13 +115,19 @@ def train_loop(params: dict, cfg: QwenVLConfig, batches, n_steps: int,
         opt_state = opt.init(params)
 
     step_fn = make_train_step(cfg, opt, with_images=with_images, remat=remat)
-    losses = []
+    # Losses stay on device until the loop ends (or a checkpoint/verbose
+    # print forces a sync anyway): float(loss) every step would insert a
+    # host round-trip between dispatches, serializing the pipeline — on
+    # this project's relayed TPU (erratic dispatch latency) that costs
+    # far more than the step itself.
+    device_losses = []
     for i in range(start, n_steps):
         params, opt_state, loss = step_fn(params, opt_state, batches(i))
-        losses.append(float(loss))
+        device_losses.append(loss)
         if verbose:
-            print(f"[tdax.train] step {i + 1}/{n_steps} loss {losses[-1]:.4f}",
-                  flush=True)
+            print(f"[tdax.train] step {i + 1}/{n_steps} loss "
+                  f"{float(loss):.4f}", flush=True)
         if checkpoint_path and (i + 1) % checkpoint_every == 0:
             save_train_state(checkpoint_path, params, opt_state, i + 1)
+    losses = [float(l) for l in device_losses]
     return params, opt_state, losses

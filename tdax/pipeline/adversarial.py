@@ -35,15 +35,18 @@ def compute_tda_for_condition(condition: str, clouds: np.ndarray,
     cloud_dir = ensure_dir(os.path.join(output_subdir, "point_clouds"))
 
     # reference: a fresh per-condition UMAP with
-    # n_neighbors=min(6, len(samples)-1) (analyze_adversarial_tda.py:85-91)
-    # — embed_and_silhouettes applies the same clamp to
-    # cfg.umap.n_neighbors (default 6).  The adversarial analysis is
-    # per-layer fit unconditionally; cfg.reducer_mode is the MAIN
-    # sweep's legacy shared-camera switch and must not reroute this
-    # path, so it is pinned here.
-    if cfg.reducer_mode != "per_layer":
+    # n_neighbors=min(6, len(samples)-1) HARD-CODED
+    # (analyze_adversarial_tda.py:85-91) — not inherited from the main
+    # sweep's knob — and per-layer fit unconditionally (cfg.reducer_mode
+    # is the MAIN sweep's legacy shared-camera switch).  Both are pinned
+    # here so a caller's non-default main-sweep config cannot silently
+    # change the adversarial protocol; embed_and_silhouettes applies the
+    # min(n_neighbors, n-1) clamp on top.
+    if cfg.reducer_mode != "per_layer" or cfg.umap.n_neighbors != 6:
         import dataclasses
-        cfg = dataclasses.replace(cfg, reducer_mode="per_layer")
+        cfg = dataclasses.replace(
+            cfg, reducer_mode="per_layer",
+            umap=dataclasses.replace(cfg.umap, n_neighbors=6))
     clouds_3d, sil = embed_and_silhouettes(clouds, cfg, labels)
     dgms_per_layer = persistence_per_layer(clouds_3d, maxdim=cfg.rips.maxdim,
                                            backend=cfg.rips.backend)

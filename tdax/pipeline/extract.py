@@ -28,6 +28,7 @@ from tdax.data.io import save_activations, save_activations_npz, load_activation
 from tdax.models.qwen_vl import QwenVLConfig, extract_layer_activations, init_params
 from tdax.models.qwen_vl.preprocess import load_image_batch
 from tdax.models.qwen_vl.tokenizer import batch_encode, get_tokenizer
+from tdax.ops.flash_attention import flash_sharding
 
 
 # number of XLA traces of the batched forward in the most recent
@@ -40,13 +41,13 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _dp_sharding(n_batch: int):
-    """NamedSharding over a 1-d data-parallel mesh when it divides the
-    batch; None (single-device / replicated) otherwise."""
+    """(mesh, NamedSharding) over a 1-d data-parallel mesh when it
+    divides the batch; None (single-device / replicated) otherwise."""
     devices = jax.devices()
     if len(devices) > 1 and n_batch % len(devices) == 0:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
         mesh = Mesh(np.array(devices), ("dp",))
-        return NamedSharding(mesh, P("dp"))
+        return mesh, NamedSharding(mesh, P("dp"))
     return None
 
 
@@ -160,8 +161,15 @@ def extract_activations(metadata: list[dict], output_path: str,
                 encoded["last_token_idx"][rows],
                 images.astype(np.float32), encoded["image_positions"][rows]]
         if dp_shard is not None:
-            args = [jax.device_put(a, dp_shard) for a in args]
-        acts = np.asarray(run(params, *args), dtype=np.float32)  # [L, bs, H]
+            mesh, sharding = dp_shard
+            args = [jax.device_put(a, sharding) for a in args]
+            # per-shard flash attention under the dp mesh: without this
+            # context the batched forward's pallas_call is opaque to the
+            # partitioner (mha falls back to the einsum path)
+            with flash_sharding(mesh, batch_axis="dp"):
+                acts = np.asarray(run(params, *args), dtype=np.float32)
+        else:
+            acts = np.asarray(run(params, *args), dtype=np.float32)  # [L, bs, H]
         acts = acts[:, :len(chunk)]
 
         collected.append(acts)

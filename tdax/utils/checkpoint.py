@@ -15,23 +15,30 @@ import numpy as np
 
 # np.savez round-trips ml_dtypes leaves (bfloat16, float8_*) as raw
 # void arrays ('|V2'), silently corrupting them.  Such leaves are
-# stored as byte views with their dtype names recorded under this
-# reserved manifest key and restored on load.
+# stored as flat byte views with their dtype name AND original shape
+# recorded under this reserved manifest key and restored on load (the
+# shape matters: a 0-d leaf's uint8 view is (itemsize,), which a
+# shape-less view() would round-trip as (1,)).  Legacy manifests store
+# only the dtype name; those entries predate 0-d support.
 _DTYPE_MANIFEST_KEY = "__tdax_dtypes__"
 
 
-def _pack_leaf(arr: np.ndarray) -> tuple[np.ndarray, str | None]:
+def _pack_leaf(arr: np.ndarray) -> tuple[np.ndarray, list | None]:
     if arr.dtype.kind in "biufc":
         return arr, None
-    return np.ascontiguousarray(arr).view(np.uint8), str(arr.dtype)
+    packed = np.ascontiguousarray(arr).reshape(-1).view(np.uint8)
+    return packed, [str(arr.dtype), list(arr.shape)]
 
 
-def _unpack_leaf(arr: np.ndarray, dtype_name: str | None) -> np.ndarray:
-    if dtype_name is None:
+def _unpack_leaf(arr: np.ndarray, entry) -> np.ndarray:
+    if entry is None:
         return arr
     import ml_dtypes  # noqa: F401  (registers bfloat16/float8 with numpy)
 
-    return arr.view(np.dtype(dtype_name))
+    if isinstance(entry, str):  # legacy manifest: dtype name only
+        return arr.view(np.dtype(entry))
+    dtype_name, shape = entry
+    return arr.view(np.dtype(dtype_name)).reshape(shape)
 
 
 def _savez_packed(tmp_or_path: str, flat: dict) -> None:

@@ -116,6 +116,91 @@ def test_mha_dispatch_matches_reference():
 
 
 @interpret_only_on_cpu
+def test_mha_sharded_mesh_runs_flash_kernel(monkeypatch):
+    """Under flash_sharding(mesh) the Pallas kernel (interpret mode)
+    runs per-shard via shard_map on the 8-device mesh and matches the
+    reference einsum — the multi-chip flash contract (VERDICT r3 #1)."""
+    import tdax.ops.flash_attention as fa
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    monkeypatch.setenv("TDAX_FLASH_INTERPRET", "1")
+    devs = np.array(jax.devices()).reshape(4, 2)
+    mesh = Mesh(devs, ("dp", "tp"))
+    rng = np.random.default_rng(7)
+    b, t, nh, hd = 8, 40, 4, 16
+    q, k, v = _rand_qkv(rng, b, t, t, nh, hd)
+    valid = np.ones((b, t), np.int32)
+    valid[0, t - 5:] = 0
+    valid = jnp.asarray(valid)
+    spec = AttnSpec(kv_valid=valid, causal=True)
+    want = _reference_mha(q, k, v, spec.additive(t, t, b))
+
+    qs = jax.device_put(q, NamedSharding(mesh, P("dp", None, "tp", None)))
+    ks = jax.device_put(k, NamedSharding(mesh, P("dp", None, "tp", None)))
+    vs = jax.device_put(v, NamedSharding(mesh, P("dp", None, "tp", None)))
+    ms = jax.device_put(valid, NamedSharding(mesh, P("dp", None)))
+    with fa.flash_sharding(mesh, batch_axis="dp", head_axis="tp"):
+        got = jax.jit(lambda a, b_, c, m: mha(a, b_, c,
+                                              AttnSpec(kv_valid=m, causal=True))
+                      )(qs, ks, vs, ms)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    # gradients flow through the shard_map'd custom_vjp (training path)
+    with fa.flash_sharding(mesh, batch_axis="dp", head_axis="tp"):
+        g = jax.jit(jax.grad(lambda a: jnp.sum(
+            mha(a, ks, vs, AttnSpec(kv_valid=ms, causal=True)) ** 2)))(qs)
+    gr = jax.grad(lambda a: jnp.sum(
+        _reference_mha(a, k, v, spec.additive(t, t, b)) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
+                               rtol=1e-4, atol=1e-4)
+
+
+@interpret_only_on_cpu
+def test_mha_sharded_eager_guard_falls_back(monkeypatch):
+    """Eagerly multi-device inputs with NO flash_sharding context must
+    refuse the (unpartitionable) kernel loudly and take the einsum path."""
+    import tdax.ops.flash_attention as fa
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    monkeypatch.setenv("TDAX_FLASH_INTERPRET", "1")
+    fa._warn_once.cache_clear()
+    mesh = Mesh(np.array(jax.devices()), ("dp",))
+    rng = np.random.default_rng(8)
+    b, t, nh, hd = 8, 16, 2, 8
+    q, k, v = _rand_qkv(rng, b, t, t, nh, hd)
+    spec = AttnSpec(kv_valid=None, causal=False)
+    want = _reference_mha(q, k, v, spec.additive(t, t, b))
+    qs = jax.device_put(q, NamedSharding(mesh, P("dp")))
+    with pytest.warns(UserWarning, match="no flash_sharding"):
+        got = mha(qs, k, v, spec)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@interpret_only_on_cpu
+def test_mha_sharded_indivisible_heads_fall_back(monkeypatch):
+    """A context whose head axis does not divide this site's head count
+    (e.g. the tiny resampler's 2 heads under tp=4) must warn and produce
+    the correct einsum result, not a wrong per-shard kernel."""
+    import tdax.ops.flash_attention as fa
+    from jax.sharding import Mesh, PartitionSpec  # noqa: F401
+
+    monkeypatch.setenv("TDAX_FLASH_INTERPRET", "1")
+    fa._warn_once.cache_clear()
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("dp", "tp"))
+    rng = np.random.default_rng(9)
+    b, t, nh, hd = 2, 12, 2, 8  # nh=2 not divisible by tp=4
+    q, k, v = _rand_qkv(rng, b, t, t, nh, hd)
+    spec = AttnSpec(kv_valid=None, causal=False)
+    want = _reference_mha(q, k, v, spec.additive(t, t, b))
+    with fa.flash_sharding(mesh, batch_axis="dp", head_axis="tp"):
+        with pytest.warns(UserWarning, match="do not divide"):
+            got = mha(q, k, v, spec)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@interpret_only_on_cpu
 def test_fully_masked_rows_finite():
     """Padding query rows (all keys masked) must produce finite output —
     NaNs would poison the residual stream."""

@@ -170,7 +170,15 @@ def test_visualizer_writes_html(workspace, tmp_path, monkeypatch):
                          [m["shape"] for m in bound],
                          [m["id"] for m in bound], str(html), title="t")
     text = html.read_text()
-    assert "Plotly.newPlot" in text and "scatter3d" in text
+    assert "scatter3d" in text
+    # self-contained contract: the artifact must render air-gapped —
+    # no external script/style/img fetches of any kind (the reference's
+    # plotly write_html embeds plotly.js; reference visualize.py:62-64)
+    assert "http://" not in text and "https://" not in text
+    assert "<canvas" in text and "addEventListener" in text
+    # every bound point's hover text is embedded
+    for m in bound:
+        assert m["id"] in text
     assert (tmp_path / "plot.png").exists()
 
 

@@ -80,6 +80,71 @@ def test_spectral_init_edges_separates_components():
     assert gap > 5 * max(c0a.std(), c0b.std())
 
 
+def test_spectral_lobpcg_agrees_with_dense_eigh_above_threshold():
+    """The scale path's default init is real spectral semantics: at n
+    just above sparse_threshold (2048), the LOBPCG init must span the
+    same bottom non-trivial Laplacian eigenvectors a dense eigh finds on
+    the SAME graph (umap-learn's init='spectral' contract — the
+    reference runs umap defaults, debug_tda_pipeline.py:96-102)."""
+    from tdax.ops.umap.fuzzy import membership_strengths_knn, smooth_knn_dist
+    from tdax.ops.umap.sparse_path import spectral_init_lobpcg
+
+    rng = np.random.default_rng(21)
+    n = 2100
+    # connected cloud with distinct bottom eigenvalues (4:2:1 box)
+    x = (rng.uniform(size=(n, 3)) * np.array([4.0, 2.0, 1.0])).astype(np.float32)
+    idx, dists = knn_blocked(jnp.asarray(x), 15, "euclidean")
+    sigma, rho = smooth_knn_dist(dists, 15.0, local_connectivity=1.0)
+    w = membership_strengths_knn(idx, dists, sigma, rho)
+    head, tail, wgt = build_sym_edges(np.asarray(idx), np.asarray(w), 1.0)
+
+    emb = np.asarray(spectral_init_lobpcg(
+        jnp.asarray(head), jnp.asarray(tail), jnp.asarray(wgt), n, 3,
+        jax.random.PRNGKey(42)))
+    assert np.isfinite(emb).all()
+
+    wd = np.zeros((n, n))
+    wd[head, tail] = wgt
+    deg = wd.sum(1)
+    inv = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1e-12)), 0.0)
+    lap = np.eye(n) - inv[:, None] * wd * inv[None, :]
+    vals, vecs = np.linalg.eigh(lap)
+    assert vals[1] > 1e-6, "test graph must be connected"
+    q, _ = np.linalg.qr(emb)
+    for j in range(3):
+        proj = np.linalg.norm(q.T @ vecs[:, 1 + j])
+        assert proj > 0.9, (
+            f"LOBPCG init lost dense eigenvector {j} "
+            f"(lam={vals[1 + j]:.5f}): projection {proj:.3f}")
+
+
+def test_spectral_lobpcg_separates_components():
+    """Disconnected graphs: the deflated-complement LOBPCG's remaining
+    eigenvalue-2 eigenvectors are component indicators, so two cliques
+    must land apart (the property the dense path gets from eigh)."""
+    from tdax.ops.umap.sparse_path import spectral_init_lobpcg
+    n = 64
+    head, tail, w = [], [], []
+    for base in (0, 32):
+        for i in range(32):
+            for j in range(i + 1, 32):
+                head += [base + i, base + j]
+                tail += [base + j, base + i]
+                w += [1.0, 1.0]
+    order = np.lexsort((tail, head))
+    emb = np.asarray(spectral_init_lobpcg(
+        jnp.asarray(np.array(head, np.int32)[order]),
+        jnp.asarray(np.array(tail, np.int32)[order]),
+        jnp.asarray(np.array(w, np.float32)[order]), n, 2,
+        jax.random.PRNGKey(0), m=100))
+    c0a, c0b = emb[:32, 0], emb[32:, 0]
+    assert (np.sign(c0a) == np.sign(c0a[0])).all()
+    assert (np.sign(c0b) == np.sign(c0b[0])).all()
+    assert np.sign(c0a[0]) != np.sign(c0b[0])
+    gap = abs(c0a.mean() - c0b.mean())
+    assert gap > 5 * max(c0a.std(), c0b.std())
+
+
 def _sparse_umap(x, **kw):
     u = UMAP(n_components=2, random_state=42, **kw)
     u.sparse_threshold = 16  # force the edge-list path
@@ -122,13 +187,17 @@ def test_sparse_circle_preserved():
 def test_sparse_deterministic_and_dispatch():
     rng = np.random.default_rng(4)
     # structured data (2 clusters): both paths must separate them even
-    # though their float trajectories differ (spectral vs PCA init)
+    # though their float trajectories differ (eigh vs LOBPCG spectral
+    # init, dense vs edge-list layout).  150 epochs: the spectral init
+    # starts a disconnected graph's components at single points
+    # (indicator eigenvectors — umap/dense-path semantics), so the
+    # layout needs its converged length to spread them.
     x = np.concatenate([rng.normal(0, 0.5, (100, 12)),
                         rng.normal(6, 0.5, (100, 12))]).astype(np.float32)
     labels = np.repeat([0, 1], 100)
 
-    e1 = _sparse_umap(x, n_neighbors=10, n_epochs=60)
-    e2 = _sparse_umap(x, n_neighbors=10, n_epochs=60)
+    e1 = _sparse_umap(x, n_neighbors=10, n_epochs=150)
+    e2 = _sparse_umap(x, n_neighbors=10, n_epochs=150)
     np.testing.assert_array_equal(e1, e2)  # deterministic under the key
 
     # default threshold leaves small clouds on the dense path, bit-identical
@@ -141,7 +210,11 @@ def test_sparse_deterministic_and_dispatch():
     np.testing.assert_array_equal(d1, d2)
 
     from tdax.metrics.silhouette import silhouette_score
-    assert float(silhouette_score(e1, labels)) > 0.8
+    # 0.6: clusters clearly separated (random labels ~ 0).  The old 0.8
+    # bar was calibrated for the PCA init; the spectral init's
+    # single-point component start leaves a couple of stragglers at
+    # this epoch count (measured 0.70).
+    assert float(silhouette_score(e1, labels)) > 0.6
     # dense at 60 epochs is under-converged; separation just has to exist
     # (its own quality bars live in test_umap.py)
     assert float(silhouette_score(d1, labels)) > 0.3
