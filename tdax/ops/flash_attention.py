@@ -16,11 +16,13 @@ Shared by the decoder (causal + key-validity), the ViT blocks
 a causal flag) so the O(T^2) additive mask is never materialized on
 the flash path.
 
-Backward: the fused kernel is forward-only; gradients go through a
-``custom_vjp`` whose backward recomputes attention with the reference
-XLA formulation and differentiates that (flash-attention backward
-kernels trade this memory back for another fused pass; capture/serving
-— the perf-critical paths — never take gradients).
+Backward: fused too.  The forward saves each query row's softmax
+log-normalizer; the ``custom_vjp`` backward then runs two tiled Pallas
+kernels — dq (q-block-major, streaming k/v) and dk/dv (k-block-major,
+streaming q/dO) — each recomputing only its [blk_q, blk_k] probability
+tile in VMEM from the saved logsumexp.  Peak HBM for training stays
+O(T*hd); the O(Tq*Tk)-materializing reference-recompute backward
+remains available under TDAX_FLASH_REF_BWD=1.
 
 Off-TPU (tests, CPU mesh dryrun) the dispatcher falls back to the
 reference einsum path; the kernel itself stays testable anywhere via
@@ -150,9 +152,9 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
+def _kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *rest,
             causal: bool, blk_q: int, blk_k: int, scale: float,
-            precision, out_dtype, qk_axes: tuple):
+            precision, out_dtype, qk_axes: tuple, with_lse: bool = False):
     # qk_axes: grid dims carrying (q-block, k-block) — (1, 2) on the 3-D
     # [b*nh, i, j] grid, (2, 3) on the 4-D zero-transpose [b, nh, i, j]
     # grid.  Hard-coding (1, 2) here once keyed the causal mask and the
@@ -162,6 +164,10 @@ def _kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     # accumulators.  The full config's head_dim = 128 takes exactly that
     # path, so the regression tests below pin aligned+causal+multiblock.
     q_ax, k_ax = qk_axes
+    if with_lse:
+        lse_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        lse_ref, (acc_ref, m_ref, l_ref) = None, rest
     i, j = pl.program_id(q_ax), pl.program_id(k_ax)
 
     @pl.when(j == 0)
@@ -211,11 +217,20 @@ def _kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
         # output is sliced off / masked out downstream anyway
         l = l_ref[:, 0:1]
         o_ref[0] = (acc_ref[:] / jnp.where(l == 0.0, 1.0, l)).astype(out_dtype)
+        if with_lse:
+            # log-sum-exp per query row, consumed by the fused backward;
+            # 0 for fully-masked rows makes exp(s - lse) underflow to 0
+            # there (s <= NEG_INF), zeroing their gradient contributions
+            lse = jnp.where(l == 0.0, 0.0, m_ref[:, 0:1] + jnp.log(
+                jnp.where(l == 0.0, 1.0, l)))                 # [blk_q, 1]
+            lse_ref[0] = jnp.transpose(lse, (1, 0))           # [1, blk_q]
 
 
-def _flash_impl(q, k, v, bias, causal: bool, interpret: bool) -> jnp.ndarray:
+def _flash_impl(q, k, v, bias, causal: bool, interpret: bool,
+                return_lse: bool = False):
     """q [B, Tq, nh, hd], k/v [B, Tk, nh, hd], bias [B, Tk] additive f32
-    -> [B, Tq, nh, hd] in q.dtype."""
+    -> [B, Tq, nh, hd] in q.dtype (and, when return_lse, the softmax
+    log-normalizer [B, nh, tq_pad] f32 for the fused backward)."""
     b, tq, nh, hd = q.shape
     tk = k.shape[1]
     hd_pad = _round_up(hd, 128)
@@ -249,7 +264,7 @@ def _flash_impl(q, k, v, bias, causal: bool, interpret: bool) -> jnp.ndarray:
         return functools.partial(
             _kernel, causal=causal, blk_q=blk_q, blk_k=blk_k,
             scale=1.0 / np.sqrt(hd), precision=precision,
-            out_dtype=q.dtype, qk_axes=qk_axes)
+            out_dtype=q.dtype, qk_axes=qk_axes, with_lse=return_lse)
     scratch = [
         pltpu.VMEM((blk_q, hd_pad), jnp.float32),   # acc
         pltpu.VMEM((blk_q, 128), jnp.float32),      # running max
@@ -272,6 +287,17 @@ def _flash_impl(q, k, v, bias, causal: bool, interpret: bool) -> jnp.ndarray:
 
         qt, kt, vt = prep(q, tq_pad), prep(k, tk_pad), prep(v, tk_pad)
         grid = (b, nh, tq_pad // blk_q, tk_pad // blk_k)
+        out_specs = pl.BlockSpec((1, blk_q, hd),
+                                 lambda g, h, i, j: (g, i, h),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, tq_pad, nh * hd), q.dtype)
+        if return_lse:
+            out_specs = [out_specs,
+                         pl.BlockSpec((1, 1, blk_q),
+                                      lambda g, h, i, j: (g, h, i),
+                                      memory_space=pltpu.VMEM)]
+            out_shape = [out_shape,
+                         jax.ShapeDtypeStruct((b, nh, tq_pad), jnp.float32)]
         out = pl.pallas_call(
             make_kernel(qk_axes=(2, 3)),
             grid=grid,
@@ -289,10 +315,8 @@ def _flash_impl(q, k, v, bias, causal: bool, interpret: bool) -> jnp.ndarray:
                              lambda g, h, i, j: (g, j, h),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, blk_q, hd),
-                                   lambda g, h, i, j: (g, i, h),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((b, tq_pad, nh * hd), q.dtype),
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=scratch,
             cost_estimate=cost,
             compiler_params=pltpu.CompilerParams(
@@ -300,6 +324,9 @@ def _flash_impl(q, k, v, bias, causal: bool, interpret: bool) -> jnp.ndarray:
                                      "arbitrary")),
             interpret=interpret,
         )(bias_p, qt, kt, vt)
+        if return_lse:
+            out, lse = out
+            return out[:, :tq, :].reshape(b, tq, nh, hd), lse
         return out[:, :tq, :].reshape(b, tq, nh, hd)
 
     def prep(x, t_pad):
@@ -308,6 +335,16 @@ def _flash_impl(q, k, v, bias, causal: bool, interpret: bool) -> jnp.ndarray:
 
     qt, kt, vt = prep(q, tq_pad), prep(k, tk_pad), prep(v, tk_pad)
     grid = (b * nh, tq_pad // blk_q, tk_pad // blk_k)
+    out_specs = pl.BlockSpec((1, blk_q, hd_pad), lambda g, i, j: (g, i, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b * nh, tq_pad, hd_pad), q.dtype)
+    if return_lse:
+        out_specs = [out_specs,
+                     pl.BlockSpec((1, 1, blk_q),
+                                  lambda g, i, j: (g // nh, g % nh, i),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((b, nh, tq_pad), jnp.float32)]
     out = pl.pallas_call(
         make_kernel(qk_axes=(1, 2)),
         grid=grid,
@@ -321,9 +358,8 @@ def _flash_impl(q, k, v, bias, causal: bool, interpret: bool) -> jnp.ndarray:
             pl.BlockSpec((1, blk_k, hd_pad), lambda g, i, j: (g, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, blk_q, hd_pad), lambda g, i, j: (g, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * nh, tq_pad, hd_pad), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         cost_estimate=cost,
         compiler_params=pltpu.CompilerParams(
@@ -333,8 +369,210 @@ def _flash_impl(q, k, v, bias, causal: bool, interpret: bool) -> jnp.ndarray:
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(bias_p, qt, kt, vt)
+    if return_lse:
+        out, lse = out
+        out = out.reshape(b, nh, tq_pad, hd_pad)[:, :, :tq, :hd]
+        return jnp.transpose(out, (0, 2, 1, 3)), lse
     out = out.reshape(b, nh, tq_pad, hd_pad)[:, :, :tq, :hd]
     return jnp.transpose(out, (0, 2, 1, 3))
+
+
+def _bwd_dq_kernel(bias_ref, lse_ref, delta_ref, q_ref, k_ref, v_ref,
+                   do_ref, dq_ref, dq_acc, *, causal: bool, blk_q: int,
+                   blk_k: int, scale: float, precision):
+    """dq for one (batch*head, q-block): stream k/v blocks (sequential
+    grid dim), recompute the probability tile from the saved logsumexp,
+    accumulate ds @ k in VMEM."""
+    i, j = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    def body():
+        s = jax.lax.dot_general(
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision) * scale                  # [blk_q, blk_k]
+        s = s + bias_ref[0]
+        if causal:
+            rows = i * blk_q + jax.lax.broadcasted_iota(
+                jnp.int32, (blk_q, blk_k), 0)
+            cols = j * blk_k + jax.lax.broadcasted_iota(
+                jnp.int32, (blk_q, blk_k), 1)
+            s = jnp.where(cols <= rows, s, NEG_INF)
+        lse = jnp.transpose(lse_ref[0], (1, 0))           # [blk_q, 1]
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        delta = jnp.transpose(delta_ref[0], (1, 0))       # [blk_q, 1]
+        ds = p * (dp - delta) * scale
+        dq_acc[:] += jax.lax.dot_general(
+            ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    if causal:
+        @pl.when(j * blk_k <= i * blk_q + blk_q - 1)
+        def _():
+            body()
+    else:
+        body()
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(bias_ref, lse_ref, delta_ref, q_ref, k_ref, v_ref,
+                    do_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+                    causal: bool, blk_q: int, blk_k: int, scale: float,
+                    precision):
+    """dk/dv for one (batch*head, k-block): stream q/do blocks
+    (sequential grid dim), recompute the TRANSPOSED probability tile,
+    accumulate p^T @ do and ds^T @ q in VMEM."""
+    j, i = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    def body():
+        st = jax.lax.dot_general(
+            k_ref[0], q_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision) * scale                  # [blk_k, blk_q]
+        st = st + jnp.transpose(bias_ref[0], (1, 0))      # key bias, rows
+        if causal:
+            kr = j * blk_k + jax.lax.broadcasted_iota(
+                jnp.int32, (blk_k, blk_q), 0)
+            qc = i * blk_q + jax.lax.broadcasted_iota(
+                jnp.int32, (blk_k, blk_q), 1)
+            st = jnp.where(qc >= kr, st, NEG_INF)
+        pt = jnp.exp(st - lse_ref[0])                     # [1,blk_q] bcast
+        dv_acc[:] += jax.lax.dot_general(
+            pt.astype(do_ref.dtype), do_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        dpt = jax.lax.dot_general(
+            v_ref[0], do_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        dst = pt * (dpt - delta_ref[0]) * scale
+        dk_acc[:] += jax.lax.dot_general(
+            dst.astype(q_ref.dtype), q_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    if causal:
+        # only q blocks at or below this k block's diagonal contribute
+        @pl.when(i * blk_q + blk_q - 1 >= j * blk_k)
+        def _():
+            body()
+    else:
+        body()
+
+    @pl.when(i == pl.num_programs(2) - 1)
+    def _():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_impl(q, k, v, bias, lse, delta, do, causal: bool,
+                    interpret: bool):
+    """Fused-backward driver: two tiled kernels (dq; dk+dv), each
+    recomputing only its [blk_q, blk_k] probability tile in VMEM from
+    the forward's logsumexp — peak HBM stays O(T·hd), never O(T^2).
+    lse/delta are [B, nh, tq_pad] f32."""
+    b, tq, nh, hd = q.shape
+    tk = k.shape[1]
+    hd_pad = _round_up(hd, 128)
+    tq_pad = _round_up(tq, 128)
+    tk_pad = _round_up(tk, 128)
+    # smaller tile cap than forward: the backward keeps ~4 f32 score-tile
+    # temporaries (s/p, dp, ds) live at once
+    blk_q = next(s for s in (256, 128) if tq_pad % s == 0)
+    blk_k = next(s for s in (512, 384, 256, 128) if tk_pad % s == 0)
+    while blk_q * blk_k * 4 > 2 * 1024 * 1024:
+        if blk_k >= blk_q and blk_k > 128:
+            blk_k //= 2
+            while tk_pad % blk_k:
+                blk_k //= 2
+        else:
+            blk_q //= 2
+            while tq_pad % blk_q:
+                blk_q //= 2
+    precision = (jax.lax.Precision.HIGHEST
+                 if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+
+    def prep(x, t_pad):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * nh, x.shape[1], hd)
+        return jnp.pad(x, ((0, 0), (0, t_pad - x.shape[1]),
+                           (0, hd_pad - hd)))
+
+    qt, kt, vt = prep(q, tq_pad), prep(k, tk_pad), prep(v, tk_pad)
+    dot_ = prep(do, tq_pad)
+    bias_p = jnp.pad(bias.astype(jnp.float32), ((0, 0), (0, tk_pad - tk)),
+                     constant_values=NEG_INF)[:, None, :]
+
+    kwargs = dict(causal=causal, blk_q=blk_q, blk_k=blk_k,
+                  scale=1.0 / np.sqrt(hd), precision=precision)
+    row_specs = [  # bias / lse / delta rows, q-block-major grid (g, i, j)
+        pl.BlockSpec((1, 1, blk_k), lambda g, i, j: (g // nh, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, blk_q), lambda g, i, j: (g // nh, g % nh, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, blk_q), lambda g, i, j: (g // nh, g % nh, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    q_spec = pl.BlockSpec((1, blk_q, hd_pad), lambda g, i, j: (g, i, 0),
+                          memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, blk_k, hd_pad), lambda g, i, j: (g, j, 0),
+                          memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **kwargs),
+        grid=(b * nh, tq_pad // blk_q, tk_pad // blk_k),
+        in_specs=row_specs + [q_spec, k_spec, k_spec, q_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b * nh, tq_pad, hd_pad), q.dtype),
+        scratch_shapes=[pltpu.VMEM((blk_q, hd_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(bias_p, lse, delta, qt, kt, vt, dot_)
+
+    # k-block-major grid (g, j, i): same index maps with (i, j) swapped
+    row_specs_t = [
+        pl.BlockSpec((1, 1, blk_k), lambda g, j, i: (g // nh, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, blk_q), lambda g, j, i: (g // nh, g % nh, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, blk_q), lambda g, j, i: (g // nh, g % nh, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    q_spec_t = pl.BlockSpec((1, blk_q, hd_pad), lambda g, j, i: (g, i, 0),
+                            memory_space=pltpu.VMEM)
+    k_spec_t = pl.BlockSpec((1, blk_k, hd_pad), lambda g, j, i: (g, j, 0),
+                            memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, **kwargs),
+        grid=(b * nh, tk_pad // blk_k, tq_pad // blk_q),
+        in_specs=row_specs_t + [q_spec_t, k_spec_t, k_spec_t, q_spec_t],
+        out_specs=[k_spec_t, k_spec_t],
+        out_shape=[jax.ShapeDtypeStruct((b * nh, tk_pad, hd_pad), q.dtype),
+                   jax.ShapeDtypeStruct((b * nh, tk_pad, hd_pad), q.dtype)],
+        scratch_shapes=[pltpu.VMEM((blk_k, hd_pad), jnp.float32),
+                        pltpu.VMEM((blk_k, hd_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(bias_p, lse, delta, qt, kt, vt, dot_)
+
+    def unprep(x, t, t_pad):
+        x = x.reshape(b, nh, t_pad, hd_pad)[:, :, :t, :hd]
+        return jnp.transpose(x, (0, 2, 1, 3))
+
+    return (unprep(dq, tq, tq_pad), unprep(dk, tk, tk_pad),
+            unprep(dv, tk, tk_pad))
 
 
 def _reference_mha(q, k, v, additive, precision=None) -> jnp.ndarray:
@@ -352,34 +590,60 @@ def _reference_mha(q, k, v, additive, precision=None) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _get_flash(causal: bool, interpret: bool):
+def _build_flash(causal: bool, interpret: bool, ref_bwd: bool):
     """custom_vjp-wrapped flash attention for a static (causal, interpret)
-    pair: fused forward, reference-recompute backward."""
+    pair: fused forward; fused tiled backward (dq kernel + dk/dv kernel,
+    peak HBM O(T*hd)) unless ref_bwd, which keeps the old
+    O(Tq*Tk)-materializing reference-recompute backward."""
 
     @jax.custom_vjp
     def f(q, k, v, bias):
         return _flash_impl(q, k, v, bias, causal, interpret)
 
-    def fwd(q, k, v, bias):
-        return _flash_impl(q, k, v, bias, causal, interpret), (q, k, v, bias)
+    if ref_bwd:
+        def fwd(q, k, v, bias):
+            return (_flash_impl(q, k, v, bias, causal, interpret),
+                    (q, k, v, bias))
 
-    def bwd(res, g):
-        q, k, v, bias = res
-        tq, tk = q.shape[1], k.shape[1]
-        add = bias.astype(jnp.float32)[:, None, None, :]
-        if causal:
-            add = add + jnp.where(
-                jnp.tril(jnp.ones((tq, tk), dtype=bool)), 0.0, NEG_INF)
+        def bwd(res, g):
+            q, k, v, bias = res
+            tq, tk = q.shape[1], k.shape[1]
+            add = bias.astype(jnp.float32)[:, None, None, :]
+            if causal:
+                add = add + jnp.where(
+                    jnp.tril(jnp.ones((tq, tk), dtype=bool)), 0.0, NEG_INF)
 
-        def ref(q_, k_, v_):
-            return _reference_mha(q_, k_, v_, add)
+            def ref(q_, k_, v_):
+                return _reference_mha(q_, k_, v_, add)
 
-        _, vjp = jax.vjp(ref, q, k, v)
-        dq, dk, dv = vjp(g)
-        return dq, dk, dv, jnp.zeros_like(bias)
+            _, vjp = jax.vjp(ref, q, k, v)
+            dq, dk, dv = vjp(g)
+            return dq, dk, dv, jnp.zeros_like(bias)
+    else:
+        def fwd(q, k, v, bias):
+            o, lse = _flash_impl(q, k, v, bias, causal, interpret,
+                                 return_lse=True)
+            return o, (q, k, v, bias, o, lse)
+
+        def bwd(res, g):
+            q, k, v, bias, o, lse = res
+            tq_pad = _round_up(q.shape[1], 128)
+            # delta_i = rowsum(dO_i * O_i) — the softmax-normalizer term
+            delta = jnp.einsum("bqhd,bqhd->bhq", g, o,
+                               preferred_element_type=jnp.float32)
+            delta = jnp.pad(delta,
+                            ((0, 0), (0, 0), (0, tq_pad - delta.shape[2])))
+            dq, dk, dv = _flash_bwd_impl(q, k, v, bias, lse, delta, g,
+                                         causal, interpret)
+            return dq, dk, dv, jnp.zeros_like(bias)
 
     f.defvjp(fwd, bwd)
     return f
+
+
+def _get_flash(causal: bool, interpret: bool):
+    return _build_flash(causal, interpret,
+                        os.environ.get("TDAX_FLASH_REF_BWD") == "1")
 
 
 def mha(q, k, v, mask) -> jnp.ndarray:

@@ -69,17 +69,27 @@ def batched_silhouettes(clouds: np.ndarray, label_sets: dict[str, list[str]]) ->
 
 @functools.lru_cache(maxsize=16)
 def _fused_embed_silhouettes_jitted(ucfg, k: int, n: int,
-                                    label_structure: tuple):
+                                    label_structure: tuple,
+                                    reducer_mode: str = "per_layer"):
     """One jitted (embed + all silhouettes) program per (hyperparams,
-    cloud size, label-set structure), cached so repeat sweeps — e.g.
-    bench medians and the product loop — skip the n_epochs-step
-    retrace.  ``label_structure`` is a sorted (name, n_classes) tuple;
-    the label encodings themselves are dynamic arguments."""
-    from tdax.ops.umap.umap import (_default_epochs, batched_embed_fn,
-                                    find_ab_params)
+    cloud size, label-set structure, reducer mode), cached so repeat
+    sweeps — e.g. bench medians and the product loop — skip the
+    n_epochs-step retrace.  ``label_structure`` is a sorted
+    (name, n_classes) tuple; the label encodings themselves are dynamic
+    arguments.  reducer_mode="shared" embeds via the batched
+    fit-on-last + vmapped-transform program (the legacy same-camera
+    mode) instead of the per-layer vmapped fit."""
+    from tdax.ops.umap.umap import (_default_epochs, _transform_epochs,
+                                    batched_embed_fn,
+                                    batched_shared_embed_fn, find_ab_params)
     a, b = find_ab_params(ucfg.spread, ucfg.min_dist)
     n_epochs = _default_epochs(n, ucfg.n_epochs)
-    embed = batched_embed_fn(ucfg, k, n_epochs, a, b)
+    if reducer_mode == "shared":
+        embed = batched_shared_embed_fn(ucfg, k, n_epochs,
+                                        _transform_epochs(ucfg.n_epochs, n),
+                                        a, b)
+    else:
+        embed = batched_embed_fn(ucfg, k, n_epochs, a, b)
     n_classes = dict(label_structure)
 
     @jax.jit
@@ -98,26 +108,30 @@ def _fused_embed_silhouettes_jitted(ucfg, k: int, n: int,
 def embed_and_silhouettes(clouds, cfg: SweepConfig,
                           label_sets: dict[str, list[str]]
                           ) -> tuple[np.ndarray, dict[str, np.ndarray]]:
-    """Fused per_layer-mode stage 1+2: the vmapped UMAP embed of all
-    layers AND every layer x label-set silhouette in ONE jitted program
+    """Fused stage 1+2: the batched UMAP embed of all layers (per-layer
+    vmapped fit, or the shared fit-on-last + vmapped-transform legacy
+    mode) AND every layer x label-set silhouette in ONE jitted program
     — one dispatch round-trip instead of three (values identical to
     embed_layers + batched_silhouettes; asserted in test_pipeline).
     Accepts a device-resident ``jax.Array`` cloud stack (the product
-    path).  Shared-reducer mode falls back to the separate stages."""
-    if cfg.reducer_mode != "per_layer":
-        c3 = embed_layers(clouds, cfg).astype(np.float32)
-        return c3, batched_silhouettes(c3, label_sets)
-
-    from tdax.ops.umap.umap import clouds_to_device_f32, shard_layer_axis
+    path)."""
+    from tdax.ops.umap.umap import UMAP, clouds_to_device_f32, shard_layer_axis
     ucfg = cfg.umap
     cj = clouds_to_device_f32(clouds)
     n = cj.shape[1]
+    if cfg.reducer_mode != "per_layer" and (
+            cfg.reducer_mode != "shared" or n > UMAP.sparse_threshold):
+        # huge shared-mode clouds take the sparse fit/transform path
+        c3 = embed_layers(clouds, cfg).astype(np.float32)
+        return c3, batched_silhouettes(c3, label_sets)
+
     if n < 2:
         raise ValueError(f"UMAP requires at least 2 samples per cloud, got {n}")
     k = min(ucfg.n_neighbors, n - 1)
     encs = {name: _encode_labels(labels) for name, labels in label_sets.items()}
     run = _fused_embed_silhouettes_jitted(
-        ucfg, k, n, tuple(sorted((name, nc) for name, (_, nc) in encs.items())))
+        ucfg, k, n, tuple(sorted((name, nc) for name, (_, nc) in encs.items())),
+        reducer_mode=cfg.reducer_mode)
     cj = shard_layer_axis(cj)
     embs, sils = run(cj, jax.random.PRNGKey(ucfg.random_state),
                      {name: jnp.asarray(enc) for name, (enc, _) in encs.items()})
@@ -140,7 +154,7 @@ def persistence_per_layer(clouds_3d: np.ndarray, maxdim: int = 1,
     path; TDAX_NO_DEVICE_PH=1 forbids it."""
     n_layers, n = clouds_3d.shape[0], clouds_3d.shape[1]
     from tdax.ops.rips.native import available as _native_available
-    device_ok = (maxdim == 1 and n_layers >= 2 and 3 <= n <= 48
+    device_ok = (maxdim <= 2 and n_layers >= 2 and 3 <= n <= 48
                  and os.environ.get("TDAX_NO_DEVICE_PH") != "1")
     if backend == "device" or (backend == "auto" and device_ok
                                and not _native_available()):
@@ -171,7 +185,12 @@ def embed_layers(clouds: np.ndarray, cfg: SweepConfig) -> np.ndarray:
         return fit_transform_batched(clouds, cfg.umap, n_neighbors=k)
     if cfg.reducer_mode == "shared":
         # fit on the LAST layer, transform every layer (same "camera") —
-        # analyze_tda_over_layers.py:65-72
+        # analyze_tda_over_layers.py:65-72 — as ONE vmapped program for
+        # dense-path sizes; the serial fit/transform loop only for
+        # clouds past the dense ceiling (sparse edge-list path)
+        from tdax.ops.umap.umap import shared_transform_batched
+        if n <= UMAP.sparse_threshold:
+            return shared_transform_batched(clouds, cfg.umap, n_neighbors=k)
         reducer = UMAP.from_config(cfg.umap)
         reducer.n_neighbors = k
         reducer.fit(clouds[-1])

@@ -55,6 +55,46 @@ def test_small_n_and_circle():
     _check_batch(batch)
 
 
+def test_maxdim2_matches_engine():
+    """On-device H2 (tet-by-triangle reduction) vs the host engine:
+    shape-exact pairing, f32-level values — incl. a sphere with a real
+    H2 bar and a duplicate-point degenerate cloud."""
+    rng = np.random.default_rng(0)
+    theta = np.arccos(1 - 2 * rng.random(18))
+    phi = 2 * np.pi * rng.random(18)
+    sphere = np.stack([np.sin(theta) * np.cos(phi),
+                       np.sin(theta) * np.sin(phi),
+                       np.cos(theta)], 1).astype(np.float32)
+    rand = rng.normal(size=(18, 3)).astype(np.float32)
+    dup = rand.copy()
+    dup[1] = dup[0]
+    batch = np.stack([sphere, rand, dup])
+    dgms = rips_tiny_batched(batch, maxdim=2)
+    found_h2 = False
+    for l in range(batch.shape[0]):
+        ref = rips(batch[l].astype(np.float64), maxdim=2)["dgms"]
+        for p in range(3):
+            a, b = dgms[l][p], ref[p]
+            assert a.shape == b.shape, (l, p, a.shape, b.shape)
+            fin = np.isfinite(b)
+            np.testing.assert_allclose(a[fin], b[fin], atol=5e-5)
+        found_h2 = found_h2 or len(dgms[l][2]) > 0
+    assert found_h2, "expected at least one H2 bar (sphere cloud)"
+
+
+def test_maxdim2_chunking_pads_tail(monkeypatch):
+    """H2 batch chunking (chunk=2 over 3 clouds pads the tail) must not
+    change any diagram vs the unchunked program."""
+    rng = np.random.default_rng(5)
+    batch = rng.normal(size=(3, 14, 3)).astype(np.float32)
+    full = rips_tiny_batched(batch, maxdim=2)
+    monkeypatch.setenv("TDAX_TINY_H2_CHUNK", "2")
+    chunked = rips_tiny_batched(batch, maxdim=2)
+    for a_l, b_l in zip(chunked, full):
+        for a, b in zip(a_l, b_l):
+            np.testing.assert_array_equal(a, b)
+
+
 def test_convergence_reported():
     rng = np.random.default_rng(2)
     clouds = rng.normal(size=(2, 20, 3)).astype(np.float32)
