@@ -15,6 +15,7 @@ downstream-invariant: persistence/silhouette curves and peak layer on
 the resulting clouds, which the pipeline tests enforce.
 """
 
-from tdax.ops.umap.umap import UMAP, fit_transform_batched
+from tdax.ops.umap.umap import (UMAP, fit_transform_batched,
+                                shared_transform_batched)
 
-__all__ = ["UMAP", "fit_transform_batched"]
+__all__ = ["UMAP", "fit_transform_batched", "shared_transform_batched"]

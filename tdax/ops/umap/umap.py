@@ -67,6 +67,64 @@ def _embed(x: jnp.ndarray, n_neighbors: int, n_components: int, metric: str,
     return emb, w
 
 
+def _transform_core(x: jnp.ndarray, train_x: jnp.ndarray,
+                    train_emb: jnp.ndarray, k: int, metric: str,
+                    n_epochs: int, key: jax.Array, a: float, b: float,
+                    learning_rate: float, negative_sample_rate: int,
+                    repulsion_strength: float,
+                    local_connectivity: float) -> jnp.ndarray:
+    """Embed new points [m, D] against a fitted reducer (train points
+    fixed) — the jit/vmap-able core of ``UMAP.transform`` (the
+    shared-camera mode, analyze_tda_over_layers.py:65-72).  The batched
+    shared-reducer sweep vmaps this over the layer axis so all 32
+    transforms run as ONE compiled program."""
+    n_new = x.shape[0]
+    n_train = train_x.shape[0]
+
+    # kNN of new points against training data
+    if metric == "cosine":
+        xn = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-30)
+        tn = train_x / jnp.maximum(
+            jnp.linalg.norm(train_x, axis=-1, keepdims=True), 1e-30)
+        dist = jnp.clip(1.0 - xn @ tn.T, 0.0, 2.0)
+    else:
+        d2 = (jnp.sum(x * x, -1)[:, None] + jnp.sum(train_x ** 2, -1)[None, :]
+              - 2.0 * x @ train_x.T)
+        dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+    neg, idx = jax.lax.top_k(-dist, k)
+    dists = -neg
+
+    # no self column in cross-kNN: prepend a zero column so the
+    # calibration's skip-self convention stays consistent
+    sigma, rho = smooth_knn_dist(
+        jnp.concatenate([jnp.zeros((n_new, 1), dists.dtype), dists], axis=1),
+        float(k), local_connectivity=local_connectivity)
+
+    d_adj = dists - rho[:, None]
+    w = jnp.where(d_adj <= 0.0, 1.0, jnp.exp(-d_adj / sigma[:, None]))
+    rows = jnp.broadcast_to(jnp.arange(n_new)[:, None], (n_new, k))
+    graph = jnp.zeros((n_new, n_train), dtype=w.dtype)
+    graph = graph.at[rows.reshape(-1), idx.reshape(-1)].add(w.reshape(-1))
+
+    # init: weighted mean of neighbor embeddings
+    train_emb = train_emb.astype(jnp.float32)
+    wsum = jnp.maximum(jnp.sum(graph, axis=1, keepdims=True), 1e-12)
+    init = (graph @ train_emb) / wsum
+
+    return optimize_layout(init, train_emb, graph, n_epochs, key, a, b,
+                           gamma=repulsion_strength,
+                           # umap-learn's transform damps the step size
+                           initial_alpha=learning_rate / 4.0,
+                           negative_sample_rate=negative_sample_rate,
+                           move_other=False)
+
+
+def _transform_epochs(n_epochs_cfg: int | None, n_new: int) -> int:
+    """umap-learn's transform epoch rule (n_epochs // 3, else 100/30)."""
+    return (int(n_epochs_cfg // 3) if n_epochs_cfg
+            else (100 if n_new <= 10000 else 30))
+
+
 class UMAP:
     """Drop-in for the reference's as-used umap.UMAP surface."""
 
@@ -166,10 +224,9 @@ class UMAP:
         # [n_new, n_train, neg, d] epoch tensor; past the dense fit
         # ceiling's product the edge-list transform takes over (always
         # the case when fit itself went sparse)
+        n_epochs = _transform_epochs(self.n_epochs, n_new)
         if n_new * n_train > self.sparse_threshold ** 2:
             from tdax.ops.umap.sparse_path import transform_sparse
-            n_epochs = (int(self.n_epochs // 3) if self.n_epochs
-                        else (100 if n_new <= 10000 else 30))
             return transform_sparse(
                 x, self._train_x, self.embedding_, k, self.metric,
                 n_epochs, jax.random.fold_in(self._key(), 1),
@@ -177,46 +234,12 @@ class UMAP:
                 self.negative_sample_rate, self.repulsion_strength,
                 self.local_connectivity)
 
-        # kNN of new points against training data
-        if self.metric == "cosine":
-            xn = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-30)
-            tn = self._train_x / jnp.maximum(
-                jnp.linalg.norm(self._train_x, axis=-1, keepdims=True), 1e-30)
-            dist = jnp.clip(1.0 - xn @ tn.T, 0.0, 2.0)
-        else:
-            d2 = (jnp.sum(x * x, -1)[:, None] + jnp.sum(self._train_x ** 2, -1)[None, :]
-                  - 2.0 * x @ self._train_x.T)
-            dist = jnp.sqrt(jnp.maximum(d2, 0.0))
-        neg, idx = jax.lax.top_k(-dist, k)
-        dists = -neg
-
-        # no self column in cross-kNN: prepend a zero column so the
-        # calibration's skip-self convention stays consistent
-        sigma, rho = smooth_knn_dist(
-            jnp.concatenate([jnp.zeros((n_new, 1), dists.dtype), dists], axis=1),
-            float(k), local_connectivity=self.local_connectivity)
-
-        d_adj = dists - rho[:, None]
-        w = jnp.where(d_adj <= 0.0, 1.0, jnp.exp(-d_adj / sigma[:, None]))
-        rows = jnp.broadcast_to(jnp.arange(n_new)[:, None], (n_new, k))
-        graph = jnp.zeros((n_new, n_train), dtype=w.dtype)
-        graph = graph.at[rows.reshape(-1), idx.reshape(-1)].add(w.reshape(-1))
-
-        # init: weighted mean of neighbor embeddings
-        train_emb = jnp.asarray(self.embedding_, dtype=jnp.float32)
-        wsum = jnp.maximum(jnp.sum(graph, axis=1, keepdims=True), 1e-12)
-        init = (graph @ train_emb) / wsum
-
-        n_epochs = (int(self.n_epochs // 3) if self.n_epochs
-                    else (100 if n_new <= 10000 else 30))
-        key = jax.random.fold_in(self._key(), 1)
-        emb = optimize_layout(init, train_emb, graph, n_epochs, key,
-                              self._a, self._b,
-                              gamma=self.repulsion_strength,
-                              # umap-learn's transform damps the step size
-                              initial_alpha=self.learning_rate / 4.0,
-                              negative_sample_rate=self.negative_sample_rate,
-                              move_other=False)
+        emb = _transform_core(
+            x, self._train_x, jnp.asarray(self.embedding_, jnp.float32),
+            k, self.metric, n_epochs, jax.random.fold_in(self._key(), 1),
+            self._a, self._b, self.learning_rate,
+            self.negative_sample_rate, self.repulsion_strength,
+            self.local_connectivity)
         return np.asarray(emb)
 
 
@@ -237,6 +260,66 @@ def batched_embed_fn(cfg: UMAPConfig, k: int, n_epochs: int,
             return emb
         return jax.vmap(one)(cs)
     return run
+
+
+def batched_shared_embed_fn(cfg: UMAPConfig, k: int, n_fit_epochs: int,
+                            n_t_epochs: int, a: float, b: float):
+    """The jit-able SHARED-REDUCER batched core ``(clouds [L, n, D],
+    key) -> [L, n, n_components]``: fit on the LAST layer, then
+    transform every layer against it — the legacy "same camera" mode
+    (analyze_tda_over_layers.py:65-72) — as ONE program (vmapped
+    ``_transform_core``) instead of 32 serial ``reducer.transform``
+    dispatches.  Matches the serial ``UMAP.fit`` + per-layer
+    ``transform`` loop exactly: same fit key, same per-call
+    ``fold_in(key, 1)`` transform key (the layout is deterministic
+    mean-field, so the key only seeds spectral init)."""
+    def run(cs, key):
+        emb_train, _ = _embed(cs[-1], k, cfg.n_components, cfg.metric,
+                              n_fit_epochs, key, a, b, cfg.learning_rate,
+                              cfg.negative_sample_rate,
+                              cfg.repulsion_strength,
+                              cfg.local_connectivity, cfg.set_op_mix_ratio)
+        key_t = jax.random.fold_in(key, 1)
+
+        def one(c):
+            return _transform_core(
+                c, cs[-1], emb_train, k, cfg.metric, n_t_epochs, key_t,
+                a, b, cfg.learning_rate, cfg.negative_sample_rate,
+                cfg.repulsion_strength, cfg.local_connectivity)
+
+        return jax.vmap(one)(cs)
+    return run
+
+
+@functools.lru_cache(maxsize=32)
+def batched_shared_embed_jitted(cfg: UMAPConfig, k: int, n_fit_epochs: int,
+                                n_t_epochs: int, a: float, b: float):
+    return jax.jit(batched_shared_embed_fn(cfg, k, n_fit_epochs,
+                                           n_t_epochs, a, b))
+
+
+def shared_transform_batched(clouds, cfg: UMAPConfig | None = None,
+                             n_neighbors: int | None = None) -> np.ndarray:
+    """Shared-reducer embed of a stack [L, n, D] -> [L, n, c] in ONE
+    jitted program (fit on clouds[-1] + vmapped transform of all
+    layers).  Dense path only (n <= the sparse threshold) — the legacy
+    mode's workloads are the 36-point headline clouds."""
+    cfg = cfg or UMAPConfig()
+    clouds = clouds_to_device_f32(clouds)
+    n = clouds.shape[1]
+    if n < 2:
+        raise ValueError(f"UMAP requires at least 2 samples per cloud, got {n}")
+    if n > UMAP.sparse_threshold:
+        raise ValueError(
+            f"shared_transform_batched is dense-path only (n <= "
+            f"{UMAP.sparse_threshold}, got {n}); use UMAP.fit + transform")
+    k = n_neighbors if n_neighbors is not None else min(cfg.n_neighbors, n - 1)
+    a, b = find_ab_params(cfg.spread, cfg.min_dist)
+    run = batched_shared_embed_jitted(
+        cfg, k, _default_epochs(n, cfg.n_epochs),
+        _transform_epochs(cfg.n_epochs, n), a, b)
+    clouds = shard_layer_axis(clouds)
+    return np.asarray(run(clouds, jax.random.PRNGKey(cfg.random_state)))
 
 
 @functools.lru_cache(maxsize=32)

@@ -24,30 +24,42 @@ from tdax.pipeline.tda_sweep import embed_and_silhouettes, persistence_per_layer
 from tdax.viz.diagrams import save_diagram_png
 
 
-def compute_tda_for_condition(condition: str, clouds: np.ndarray,
-                              labels: dict[str, list[str]],
-                              output_subdir: str, cfg: SweepConfig,
-                              verbose: bool = True) -> list[dict]:
-    """clouds [L, n, hidden]; labels: img_color/img_shape/txt_color/txt_shape."""
-    if verbose:
-        print(f"\n--- Analyzing {condition} ---")
-    diag_dir = ensure_dir(os.path.join(output_subdir, "diagrams"))
-    cloud_dir = ensure_dir(os.path.join(output_subdir, "point_clouds"))
-
-    # reference: a fresh per-condition UMAP with
-    # n_neighbors=min(6, len(samples)-1) HARD-CODED
-    # (analyze_adversarial_tda.py:85-91) — not inherited from the main
-    # sweep's knob — and per-layer fit unconditionally (cfg.reducer_mode
-    # is the MAIN sweep's legacy shared-camera switch).  Both are pinned
-    # here so a caller's non-default main-sweep config cannot silently
-    # change the adversarial protocol; embed_and_silhouettes applies the
-    # min(n_neighbors, n-1) clamp on top.
+def _pin_protocol(cfg: SweepConfig) -> SweepConfig:
+    """The reference uses a fresh per-condition UMAP with
+    n_neighbors=min(6, len(samples)-1) HARD-CODED
+    (analyze_adversarial_tda.py:85-91) — not inherited from the main
+    sweep's knob — and per-layer fit unconditionally (cfg.reducer_mode
+    is the MAIN sweep's legacy shared-camera switch).  Both are pinned
+    so a caller's non-default main-sweep config cannot silently change
+    the adversarial protocol; embed_and_silhouettes applies the
+    min(n_neighbors, n-1) clamp on top."""
     if cfg.reducer_mode != "per_layer" or cfg.umap.n_neighbors != 6:
         import dataclasses
         cfg = dataclasses.replace(
             cfg, reducer_mode="per_layer",
             umap=dataclasses.replace(cfg.umap, n_neighbors=6))
-    clouds_3d, sil = embed_and_silhouettes(clouds, cfg, labels)
+    return cfg
+
+
+def compute_tda_for_condition(condition: str, clouds: np.ndarray,
+                              labels: dict[str, list[str]],
+                              output_subdir: str, cfg: SweepConfig,
+                              verbose: bool = True,
+                              _embedded=None) -> list[dict]:
+    """clouds [L, n, hidden]; labels: img_color/img_shape/txt_color/txt_shape.
+
+    ``_embedded``: optional precomputed (clouds_3d, silhouettes) from
+    ``embed_and_silhouettes`` under the pinned protocol config — the
+    overlapped sweep (run_adversarial_sweep) dispatches all conditions'
+    embed programs concurrently and hands the results in here."""
+    if verbose:
+        print(f"\n--- Analyzing {condition} ---")
+    diag_dir = ensure_dir(os.path.join(output_subdir, "diagrams"))
+    cloud_dir = ensure_dir(os.path.join(output_subdir, "point_clouds"))
+
+    cfg = _pin_protocol(cfg)
+    clouds_3d, sil = (_embedded if _embedded is not None
+                      else embed_and_silhouettes(clouds, cfg, labels))
     dgms_per_layer = persistence_per_layer(clouds_3d, maxdim=cfg.rips.maxdim,
                                            backend=cfg.rips.backend)
 
@@ -150,6 +162,7 @@ def run_adversarial_sweep(all_data: dict[str, dict], output_dir: str,
 
     n_per_condition: dict[str, int] = {}
     condition_stats: dict[str, list[dict]] = {}
+    cond_inputs: list[tuple[str, np.ndarray, dict[str, list[str]]]] = []
     for condition in CONDITIONS:
         clouds, ids = activations_to_layer_clouds(
             all_data, cfg.n_layers, point_cloud_type=None, condition=condition)
@@ -164,9 +177,30 @@ def run_adversarial_sweep(all_data: dict[str, dict], output_dir: str,
             "txt_color": [all_data[i]["metadata"]["txt_color"] for i in ids],
             "txt_shape": [all_data[i]["metadata"]["txt_shape"] for i in ids],
         }
+        cond_inputs.append((condition, clouds, labels))
+
+    # Overlapped fan-out (VERDICT r3 #7): the 4 conditions' fused
+    # embed+silhouette programs trace/compile/dispatch CONCURRENTLY in
+    # threads (jit is thread-safe; XLA compiles release the GIL, so the
+    # three distinct-n compilations overlap each other and the device
+    # compute), instead of serial compile->run->PH per condition.  The
+    # per-condition host PH + artifact stage then runs as each result
+    # lands, overlapping the remaining conditions' device compute.
+    acfg = _pin_protocol(cfg)
+    if len(cond_inputs) > 1:
+        import concurrent.futures as cf
+        with cf.ThreadPoolExecutor(max_workers=len(cond_inputs)) as pool:
+            embedded = list(pool.map(
+                lambda item: embed_and_silhouettes(item[1], acfg, item[2]),
+                cond_inputs))
+    else:
+        embedded = [embed_and_silhouettes(item[1], acfg, item[2])
+                    for item in cond_inputs]
+
+    for (condition, clouds, labels), emb in zip(cond_inputs, embedded):
         condition_stats[condition] = compute_tda_for_condition(
             condition, clouds, labels, os.path.join(output_dir, condition),
-            cfg, verbose=verbose)
+            acfg, verbose=verbose, _embedded=emb)
 
     plot_comparison(condition_stats, cfg.n_layers,
                     os.path.join(output_dir, "comparison",

@@ -200,3 +200,25 @@ def test_fused_embed_silhouettes_matches_separate_stages():
     np.testing.assert_allclose(fus_clouds, sep_clouds, rtol=1e-6, atol=1e-6)
     for k in labels:
         np.testing.assert_allclose(fus_sil[k], sep_sil[k], rtol=1e-6, atol=1e-6)
+
+
+def test_fused_shared_mode_matches_separate_stages():
+    """Shared-reducer mode also runs fused (fit-on-last + vmapped
+    transform + silhouettes in ONE program) and must equal the separate
+    embed_layers("shared") + batched_silhouettes stages."""
+    from tdax.pipeline.tda_sweep import (batched_silhouettes,
+                                         embed_and_silhouettes, embed_layers)
+    rng = np.random.default_rng(12)
+    clouds = rng.normal(size=(4, 18, 32))
+    labels = {"shape": [f"s{i % 3}" for i in range(18)],
+              "color": [f"c{i % 2}" for i in range(18)]}
+    cfg = SweepConfig(reducer_mode="shared",
+                      umap=UMAPConfig(n_neighbors=5, n_components=3,
+                                      random_state=42, metric="cosine",
+                                      n_epochs=60))
+    sep_clouds = embed_layers(clouds, cfg).astype(np.float32)
+    sep_sil = batched_silhouettes(sep_clouds, labels)
+    fus_clouds, fus_sil = embed_and_silhouettes(clouds, cfg, labels)
+    np.testing.assert_allclose(fus_clouds, sep_clouds, rtol=1e-5, atol=1e-5)
+    for k in labels:
+        np.testing.assert_allclose(fus_sil[k], sep_sil[k], rtol=1e-5, atol=1e-5)

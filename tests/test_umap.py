@@ -113,6 +113,30 @@ def test_batched_matches_single(clusters):
     assert batched.shape == (2, 36, 3)
 
 
+def test_shared_batched_matches_serial_loop(clusters):
+    """shared_transform_batched (ONE vmapped fit-on-last + transform-all
+    program) must match the serial UMAP.fit + per-layer transform loop —
+    the legacy same-camera mode's batching must not change values."""
+    if jax.devices()[0].platform == "tpu":
+        pytest.skip("vmapped vs single programs fuse differently on TPU "
+                    "(CPU asserts equality)")
+    from tdax.ops.umap import shared_transform_batched
+    x, _ = clusters
+    rng = np.random.default_rng(3)
+    clouds = np.stack([x + 0.05 * rng.normal(size=x.shape).astype(np.float32)
+                       for _ in range(3)])
+    cfg = UMAPConfig(n_neighbors=6, n_components=3, random_state=42,
+                     metric="cosine", n_epochs=90)
+    batched = shared_transform_batched(clouds, cfg)
+
+    reducer = UMAP.from_config(cfg)
+    reducer.n_neighbors = min(cfg.n_neighbors, clouds.shape[1] - 1)
+    reducer.fit(clouds[-1])
+    serial = np.stack([reducer.transform(clouds[i]) for i in range(3)])
+    np.testing.assert_allclose(batched, serial, atol=1e-4)
+    assert batched.shape == (3, 36, 3)
+
+
 def test_transform_mode(clusters):
     """Shared-reducer mode (analyze_tda_over_layers.py:65-72): fit on one
     cloud, transform another; new points land near their neighbors."""
