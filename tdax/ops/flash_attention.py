@@ -230,7 +230,7 @@ def _flash_impl(q, k, v, bias, causal: bool, interpret: bool,
                 return_lse: bool = False):
     """q [B, Tq, nh, hd], k/v [B, Tk, nh, hd], bias [B, Tk] additive f32
     -> [B, Tq, nh, hd] in q.dtype (and, when return_lse, the softmax
-    log-normalizer [B, nh, tq_pad] f32 for the fused backward)."""
+    log-normalizer [B*nh, 1, tq_pad] f32 for the fused backward)."""
     b, tq, nh, hd = q.shape
     tk = k.shape[1]
     hd_pad = _round_up(hd, 128)
@@ -292,12 +292,18 @@ def _flash_impl(q, k, v, bias, causal: bool, interpret: bool,
                                  memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((b, tq_pad, nh * hd), q.dtype)
         if return_lse:
+            # lse rides a [b*nh, 1, tq_pad] layout (same singleton-middle
+            # trick as the bias): Mosaic requires a block's last two dims
+            # to divide (8, 128) or equal the array's — a (1, 1, blk_q)
+            # block over [b, nh, tq_pad] fails (1 vs nh) and only
+            # surfaces when lowering for a real TPU, never in interpret
             out_specs = [out_specs,
                          pl.BlockSpec((1, 1, blk_q),
-                                      lambda g, h, i, j: (g, h, i),
+                                      lambda g, h, i, j: (g * nh + h, 0, i),
                                       memory_space=pltpu.VMEM)]
             out_shape = [out_shape,
-                         jax.ShapeDtypeStruct((b, nh, tq_pad), jnp.float32)]
+                         jax.ShapeDtypeStruct((b * nh, 1, tq_pad),
+                                              jnp.float32)]
         out = pl.pallas_call(
             make_kernel(qk_axes=(2, 3)),
             grid=grid,
@@ -341,10 +347,10 @@ def _flash_impl(q, k, v, bias, causal: bool, interpret: bool,
     if return_lse:
         out_specs = [out_specs,
                      pl.BlockSpec((1, 1, blk_q),
-                                  lambda g, i, j: (g // nh, g % nh, i),
+                                  lambda g, i, j: (g, 0, i),
                                   memory_space=pltpu.VMEM)]
         out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((b, nh, tq_pad), jnp.float32)]
+                     jax.ShapeDtypeStruct((b * nh, 1, tq_pad), jnp.float32)]
     out = pl.pallas_call(
         make_kernel(qk_axes=(1, 2)),
         grid=grid,
@@ -481,7 +487,8 @@ def _flash_bwd_impl(q, k, v, bias, lse, delta, do, causal: bool,
     """Fused-backward driver: two tiled kernels (dq; dk+dv), each
     recomputing only its [blk_q, blk_k] probability tile in VMEM from
     the forward's logsumexp — peak HBM stays O(T·hd), never O(T^2).
-    lse/delta are [B, nh, tq_pad] f32."""
+    lse/delta are [B*nh, 1, tq_pad] f32 (the singleton middle dim keeps
+    their (1, 1, blk_q) blocks legal under Mosaic's tiling rule)."""
     b, tq, nh, hd = q.shape
     tk = k.shape[1]
     hd_pad = _round_up(hd, 128)
@@ -518,9 +525,9 @@ def _flash_bwd_impl(q, k, v, bias, lse, delta, do, causal: bool,
     row_specs = [  # bias / lse / delta rows, q-block-major grid (g, i, j)
         pl.BlockSpec((1, 1, blk_k), lambda g, i, j: (g // nh, 0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, blk_q), lambda g, i, j: (g // nh, g % nh, i),
+        pl.BlockSpec((1, 1, blk_q), lambda g, i, j: (g, 0, i),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, blk_q), lambda g, i, j: (g // nh, g % nh, i),
+        pl.BlockSpec((1, 1, blk_q), lambda g, i, j: (g, 0, i),
                      memory_space=pltpu.VMEM),
     ]
     q_spec = pl.BlockSpec((1, blk_q, hd_pad), lambda g, i, j: (g, i, 0),
@@ -544,9 +551,9 @@ def _flash_bwd_impl(q, k, v, bias, lse, delta, do, causal: bool,
     row_specs_t = [
         pl.BlockSpec((1, 1, blk_k), lambda g, j, i: (g // nh, 0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, blk_q), lambda g, j, i: (g // nh, g % nh, i),
+        pl.BlockSpec((1, 1, blk_q), lambda g, j, i: (g, 0, i),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, blk_q), lambda g, j, i: (g // nh, g % nh, i),
+        pl.BlockSpec((1, 1, blk_q), lambda g, j, i: (g, 0, i),
                      memory_space=pltpu.VMEM),
     ]
     q_spec_t = pl.BlockSpec((1, blk_q, hd_pad), lambda g, j, i: (g, i, 0),
@@ -627,12 +634,14 @@ def _build_flash(causal: bool, interpret: bool, ref_bwd: bool):
 
         def bwd(res, g):
             q, k, v, bias, o, lse = res
-            tq_pad = _round_up(q.shape[1], 128)
-            # delta_i = rowsum(dO_i * O_i) — the softmax-normalizer term
+            b, tq, nh, _ = q.shape
+            tq_pad = _round_up(tq, 128)
+            # delta_i = rowsum(dO_i * O_i) — the softmax-normalizer term;
+            # [b*nh, 1, tq_pad] to match lse's Mosaic-legal row layout
             delta = jnp.einsum("bqhd,bqhd->bhq", g, o,
                                preferred_element_type=jnp.float32)
-            delta = jnp.pad(delta,
-                            ((0, 0), (0, 0), (0, tq_pad - delta.shape[2])))
+            delta = jnp.pad(delta, ((0, 0), (0, 0), (0, tq_pad - tq)))
+            delta = delta.reshape(b * nh, 1, tq_pad)
             dq, dk, dv = _flash_bwd_impl(q, k, v, bias, lse, delta, g,
                                          causal, interpret)
             return dq, dk, dv, jnp.zeros_like(bias)

@@ -91,6 +91,18 @@ def _transform_core(x: jnp.ndarray, train_x: jnp.ndarray,
         d2 = (jnp.sum(x * x, -1)[:, None] + jnp.sum(train_x ** 2, -1)[None, :]
               - 2.0 * x @ train_x.T)
         dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+    if n_new == n_train:
+        # transforming the fit cloud against itself (the shared-camera
+        # sweep's fit layer) must see EXACT zero self-distances: rho's
+        # "smallest NONZERO distance" rule (smooth_knn_dist) is
+        # discontinuous at 0, and different compilations round the
+        # x @ train.T diagonal differently (0.0 serially, ~1 ulp under
+        # vmap), flipping rho from the true nearest neighbor to the
+        # rounding residue.  Pin the diagonal to 0 when x IS train_x —
+        # the value exact arithmetic (and umap-learn's exact kNN of the
+        # raw data) produces.
+        same = jnp.all(x == train_x)
+        dist = jnp.where(same & jnp.eye(n_new, dtype=bool), 0.0, dist)
     neg, idx = jax.lax.top_k(-dist, k)
     dists = -neg
 
@@ -123,6 +135,26 @@ def _transform_epochs(n_epochs_cfg: int | None, n_new: int) -> int:
     """umap-learn's transform epoch rule (n_epochs // 3, else 100/30)."""
     return (int(n_epochs_cfg // 3) if n_epochs_cfg
             else (100 if n_new <= 10000 else 30))
+
+
+@functools.lru_cache(maxsize=64)
+def _transform_core_jitted(k: int, metric: str, n_epochs: int, a: float,
+                           b: float, learning_rate: float,
+                           negative_sample_rate: int,
+                           repulsion_strength: float,
+                           local_connectivity: float):
+    """jit of _transform_core with the hyperparameters closed over
+    (cached per tuple): repeat transforms reuse one compiled program,
+    and — load-bearing for value parity — the serial UMAP.transform
+    and the vmapped shared-reducer sweep both go through XLA-compiled
+    code, so their epoch arithmetic rounds identically (eager-vs-jit
+    fusion differences amplify over the layout's chaotic epochs)."""
+    def f(x, train_x, train_emb, key):
+        return _transform_core(x, train_x, train_emb, k, metric, n_epochs,
+                               key, a, b, learning_rate,
+                               negative_sample_rate, repulsion_strength,
+                               local_connectivity)
+    return jax.jit(f)
 
 
 class UMAP:
@@ -234,12 +266,12 @@ class UMAP:
                 self.negative_sample_rate, self.repulsion_strength,
                 self.local_connectivity)
 
-        emb = _transform_core(
-            x, self._train_x, jnp.asarray(self.embedding_, jnp.float32),
-            k, self.metric, n_epochs, jax.random.fold_in(self._key(), 1),
-            self._a, self._b, self.learning_rate,
+        run = _transform_core_jitted(
+            k, self.metric, n_epochs, self._a, self._b, self.learning_rate,
             self.negative_sample_rate, self.repulsion_strength,
             self.local_connectivity)
+        emb = run(x, self._train_x, jnp.asarray(self.embedding_, jnp.float32),
+                  jax.random.fold_in(self._key(), 1))
         return np.asarray(emb)
 
 

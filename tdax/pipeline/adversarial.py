@@ -190,17 +190,22 @@ def run_adversarial_sweep(all_data: dict[str, dict], output_dir: str,
     if len(cond_inputs) > 1:
         import concurrent.futures as cf
         with cf.ThreadPoolExecutor(max_workers=len(cond_inputs)) as pool:
-            embedded = list(pool.map(
-                lambda item: embed_and_silhouettes(item[1], acfg, item[2]),
-                cond_inputs))
+            futures = [pool.submit(embed_and_silhouettes, clouds, acfg, labels)
+                       for _, clouds, labels in cond_inputs]
+            # consume per-condition: waiting only on THIS condition's
+            # future lets its host PH + PNG stage run while the later
+            # conditions' device programs are still executing
+            for (condition, clouds, labels), fut in zip(cond_inputs, futures):
+                condition_stats[condition] = compute_tda_for_condition(
+                    condition, clouds, labels,
+                    os.path.join(output_dir, condition), acfg,
+                    verbose=verbose, _embedded=fut.result())
     else:
-        embedded = [embed_and_silhouettes(item[1], acfg, item[2])
-                    for item in cond_inputs]
-
-    for (condition, clouds, labels), emb in zip(cond_inputs, embedded):
-        condition_stats[condition] = compute_tda_for_condition(
-            condition, clouds, labels, os.path.join(output_dir, condition),
-            acfg, verbose=verbose, _embedded=emb)
+        for condition, clouds, labels in cond_inputs:
+            condition_stats[condition] = compute_tda_for_condition(
+                condition, clouds, labels, os.path.join(output_dir, condition),
+                acfg, verbose=verbose,
+                _embedded=embed_and_silhouettes(clouds, acfg, labels))
 
     plot_comparison(condition_stats, cfg.n_layers,
                     os.path.join(output_dir, "comparison",
