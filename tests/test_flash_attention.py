@@ -301,3 +301,45 @@ def test_fully_masked_rows_finite():
     valid = jnp.zeros((b, t), jnp.int32)  # nothing valid at all
     out = _get_flash(False, True)(q, k, v, _bias_from_valid(valid))
     assert np.isfinite(np.asarray(out)).all()
+
+
+tpu_hardware_only = pytest.mark.skipif(
+    os.environ.get("TDAX_TEST_TPU") != "1",
+    reason="compiled-kernel lowering test; runs in the on-chip suite "
+           "(TDAX_TEST_TPU=1) — CPU covers the math in interpret mode")
+
+
+@tpu_hardware_only
+@pytest.mark.parametrize("tq,tk,nh,hd,causal", [
+    (256, 256, 2, 128, True),   # 4-D zero-transpose grid, multi-q-block
+    (256, 256, 2, 64, False),   # 3-D grid (hd padded)
+])
+def test_fused_backward_lowers_and_matches_on_device(tq, tk, nh, hd, causal):
+    """Compile (not interpret) the fused forward+backward on the real
+    chip and compare grads to the reference vjp.  Mosaic enforces block
+    tiling rules ONLY when lowering for hardware — the round-4 lse
+    layout bug ((1, 1, blk_q) blocks over [B, nh, tq_pad], illegal
+    second-to-last dim) passed every interpret-mode test and failed the
+    first real training step; this test pins the lowering."""
+    from tdax.ops.flash_attention import _build_flash
+    rng = np.random.default_rng(7)
+    b = 2
+    q, k, v = _rand_qkv(rng, b, tq, tk, nh, hd)
+    bias = jnp.zeros((b, tk), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(b, tq, nh, hd)).astype(np.float32))
+
+    fused = _build_flash(causal, False, False)  # interpret=False: real kernel
+    dq, dk, dv = jax.jit(jax.grad(
+        lambda a, c, d: jnp.vdot(fused(a, c, d, bias), g),
+        argnums=(0, 1, 2)))(q, k, v)
+
+    add = AttnSpec(kv_valid=None, causal=causal).additive(tq, tk, b)
+    rdq, rdk, rdv = jax.jit(jax.grad(
+        lambda a, c, d: jnp.vdot(_reference_mha(
+            a, c, d, add, precision=jax.lax.Precision.HIGHEST), g),
+        argnums=(0, 1, 2)))(q, k, v)
+    # the f32 flash kernel runs HIGHEST-precision MXU passes (see
+    # _flash_impl); grads agree to f32 reduction noise
+    for got, want in ((dq, rdq), (dk, rdk), (dv, rdv)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
