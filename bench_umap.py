@@ -5,7 +5,8 @@ The reference's umap-learn handles 10k-100k-point clouds routinely
 (Numba kernels on CPU); this measures tdax's edge-list path
 (tdax/ops/umap/sparse_path.py) at the same scale on one TPU chip:
 exact blocked kNN on the MXU, sigma/rho + membership on [n, k] lists,
-host COO symmetrization, PCA init, epoch-scan SGD layout.
+host COO symmetrization, spectral init (LOBPCG on the normalized
+Laplacian — umap-learn's default semantics), epoch-scan SGD layout.
 
 Usage: python bench_umap.py [n_points] [n_neighbors]
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
