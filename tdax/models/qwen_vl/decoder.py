@@ -135,13 +135,23 @@ def decoder_capture(stacked_layers: dict, x: jnp.ndarray, cfg: QwenVLConfig,
 
 
 def decoder(stacked_layers: dict, x: jnp.ndarray, cfg: QwenVLConfig,
-            attn_mask: jnp.ndarray, remat: bool = False) -> jnp.ndarray:
+            attn_mask: jnp.ndarray, remat: bool = False,
+            seq_sharding=None) -> jnp.ndarray:
     """Plain depth scan without capture (training / generation path).
 
     ``remat=True`` rematerializes each scanned block in the backward
     pass (keeping only matmul outputs, the dots-saveable policy), so
     training memory stops scaling with every intermediate of every
     layer — the standard TPU trade of HBM for recompute FLOPs.
+
+    ``seq_sharding`` (a NamedSharding like P("dp", "tp", None)) turns on
+    Megatron-style sequence parallelism: the residual stream between
+    blocks is constrained to be SHARDED over tp on the sequence axis, so
+    the norms/elementwise regions run tp-local and GSPMD replaces the
+    tp all-reduces after the attention/MLP down-projections with
+    reduce-scatter + all-gather pairs (same ICI bytes, 1/tp the
+    activation residency — under remat the per-block saved carry drops
+    by tp as well).
     """
     b, t, _ = x.shape
     positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
@@ -149,10 +159,14 @@ def decoder(stacked_layers: dict, x: jnp.ndarray, cfg: QwenVLConfig,
     mask = AttnSpec(kv_valid=attn_mask, causal=True)
 
     def step(h, layer):
+        if seq_sharding is not None:
+            h = jax.lax.with_sharding_constraint(h, seq_sharding)
         return block(h, layer, cfg, cos, sin, mask), None
 
     if remat:
         step = jax.checkpoint(
             step, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
     final, _ = jax.lax.scan(step, x, stacked_layers)
+    if seq_sharding is not None:
+        final = jax.lax.with_sharding_constraint(final, seq_sharding)
     return final

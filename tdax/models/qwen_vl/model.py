@@ -143,12 +143,14 @@ def forward(params: dict, cfg: QwenVLConfig, input_ids: jnp.ndarray,
             attn_mask: jnp.ndarray | None = None,
             images: jnp.ndarray | None = None,
             image_positions: jnp.ndarray | None = None,
-            remat: bool = False) -> jnp.ndarray:
+            remat: bool = False, seq_sharding=None) -> jnp.ndarray:
     """Logits [B, T, vocab].  ``remat`` rematerializes decoder blocks
-    in the backward pass (training memory knob; see decoder)."""
+    in the backward pass (training memory knob); ``seq_sharding`` turns
+    on sequence parallelism between blocks (see decoder)."""
     if attn_mask is None:
         attn_mask = jnp.ones_like(input_ids)
     x = embed_inputs(params, cfg, input_ids, images, image_positions)
-    x = decoder(params["layers"], x, cfg, attn_mask, remat=remat)
+    x = decoder(params["layers"], x, cfg, attn_mask, remat=remat,
+                seq_sharding=seq_sharding)
     x = rms_norm(x, params["ln_f"], cfg.layer_norm_eps)
     return qdot(x, params["lm_head"]).astype(jnp.float32)

@@ -22,10 +22,10 @@ def lm_loss(params: dict, cfg: QwenVLConfig, input_ids: jnp.ndarray,
             attn_mask: jnp.ndarray,
             images: jnp.ndarray | None = None,
             image_positions: jnp.ndarray | None = None,
-            remat: bool = False) -> jnp.ndarray:
+            remat: bool = False, seq_sharding=None) -> jnp.ndarray:
     """Masked next-token cross entropy (mean over real target tokens)."""
     logits = forward(params, cfg, input_ids, attn_mask, images, image_positions,
-                     remat=remat)
+                     remat=remat, seq_sharding=seq_sharding)
     targets = input_ids[:, 1:]
     logits = logits[:, :-1]
     mask = (attn_mask[:, 1:] > 0).astype(jnp.float32)
@@ -35,7 +35,8 @@ def lm_loss(params: dict, cfg: QwenVLConfig, input_ids: jnp.ndarray,
 
 
 def make_train_step(cfg: QwenVLConfig, optimizer: optax.GradientTransformation,
-                    with_images: bool = False, remat: bool = False):
+                    with_images: bool = False, remat: bool = False,
+                    sp_mesh=None):
     """Returns train_step(params, opt_state, batch) -> (params, opt_state, loss).
 
     ``batch``: dict with input_ids/attn_mask (+ images/image_positions
@@ -43,15 +44,22 @@ def make_train_step(cfg: QwenVLConfig, optimizer: optax.GradientTransformation,
     with tdax.parallel.shard_params and the batch with batch_sharding
     BEFORE calling — GSPMD handles the rest.  ``remat=True`` turns on
     per-block rematerialization (same gradients, less HBM, ~1 extra
-    block forward in the backward).
+    block forward in the backward).  ``sp_mesh`` (the dp x tp mesh the
+    params are sharded over) additionally turns on sequence parallelism:
+    the residual stream between blocks is sharded over tp on the
+    sequence axis (see tdax.models.qwen_vl.decoder).
     """
+    seq_sharding = None
+    if sp_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        seq_sharding = NamedSharding(sp_mesh, P("dp", "tp", None))
 
     def step(params, opt_state, batch):
         def loss_fn(p):
             return lm_loss(p, cfg, batch["input_ids"], batch["attn_mask"],
                            batch.get("images") if with_images else None,
                            batch.get("image_positions") if with_images else None,
-                           remat=remat)
+                           remat=remat, seq_sharding=seq_sharding)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)

@@ -152,3 +152,135 @@ def test_train_loop_checkpoint_resume(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(opt_straight),
                     jax.tree_util.tree_leaves(opt_resumed)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# pipeline parallelism (tdax/parallel/pipeline.py)
+
+
+def _pp_setup(pp, dp, n_micro, key=9):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tdax.parallel import make_pp_mesh, shard_params_pp
+
+    mesh = make_pp_mesh(pp=pp, dp=dp)
+    rng = np.random.default_rng(key)
+    b, t = 2 * dp * n_micro, 24
+    ids = jnp.asarray(rng.integers(1, CFG.vocab_size, (b, t)).astype(np.int32))
+    mask = jnp.ones((b, t), jnp.int32).at[:, t - 4:].set(0)  # ragged tail
+    params = init_params(jax.random.PRNGKey(key), CFG, with_visual=False)
+    sharded = shard_params_pp(
+        init_params(jax.random.PRNGKey(key), CFG, with_visual=False), mesh)
+    bs = NamedSharding(mesh, P("dp"))
+    return mesh, params, sharded, ids, mask, bs
+
+
+def test_pipeline_forward_matches_single_device():
+    """GPipe schedule over pp=4 stages x 2 microbatches: logits must
+    equal the plain scan decoder (same per-layer arithmetic; only the
+    placement changes)."""
+    from tdax.parallel import pipeline_forward
+
+    mesh, params, sharded, ids, mask, bs = _pp_setup(pp=4, dp=2, n_micro=2)
+    ref = np.asarray(forward(params, CFG, ids, mask))
+    got = np.asarray(pipeline_forward(
+        sharded, CFG, jax.device_put(ids, bs), jax.device_put(mask, bs),
+        mesh, n_micro=2))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_pipeline_forward_pp_only_and_remat():
+    """pp without dp (the mesh is only stages — one block per stage),
+    with remat on: still matches the single-device forward."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tdax.parallel import make_pp_mesh, pipeline_forward, shard_params_pp
+
+    mesh = make_pp_mesh(pp=CFG.num_layers, dp=1,
+                        devices=jax.devices()[:CFG.num_layers])
+    rng = np.random.default_rng(11)
+    b, t = 4, 24
+    ids = jnp.asarray(rng.integers(1, CFG.vocab_size, (b, t)).astype(np.int32))
+    mask = jnp.ones((b, t), jnp.int32)
+    params = init_params(jax.random.PRNGKey(11), CFG, with_visual=False)
+    sharded = shard_params_pp(
+        init_params(jax.random.PRNGKey(11), CFG, with_visual=False), mesh)
+    bs = NamedSharding(mesh, P("dp"))
+    ref = np.asarray(forward(params, CFG, ids, mask))
+    got = np.asarray(pipeline_forward(
+        sharded, CFG, jax.device_put(ids, bs), jax.device_put(mask, bs),
+        mesh, n_micro=4, remat=True))
+    # mb=1 changes the matmul batch shape vs the b=4 reference, so the
+    # logits carry reduction-order float noise (~3e-6 measured)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
+
+
+def test_pipeline_train_step_matches_plain():
+    """One pipeline train step must land on the same loss and params as
+    the single-device train step (up to grad reduction-order float
+    noise): the bubbles contribute zero gradient."""
+    from tdax.parallel import make_train_step_pp
+
+    mesh, params, sharded, ids, mask, bs = _pp_setup(pp=4, dp=2, n_micro=2)
+    opt = default_optimizer(1e-3)
+    batch = {"input_ids": ids, "attn_mask": mask}
+    p1, _, l1 = make_train_step(CFG, opt)(params, opt.init(params), batch)
+
+    step_pp = make_train_step_pp(CFG, opt, mesh, n_micro=2)
+    batch_s = {"input_ids": jax.device_put(ids, bs),
+               "attn_mask": jax.device_put(mask, bs)}
+    p2, _, l2 = step_pp(sharded, opt.init(sharded), batch_s)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_pipeline_rejects_indivisible():
+    from tdax.parallel import make_pp_mesh, pipeline_forward, shard_params_pp
+
+    mesh = make_pp_mesh(pp=8, dp=1)  # CFG.num_layers == 4 < 8 stages
+    params = init_params(jax.random.PRNGKey(0), CFG, with_visual=False)
+    ids = jnp.ones((8, 8), jnp.int32)
+    with pytest.raises(ValueError, match="divisible by pp"):
+        pipeline_forward(params, CFG, ids, jnp.ones_like(ids), mesh, n_micro=1)
+    mesh4 = make_pp_mesh(pp=4, dp=2)
+    with pytest.raises(ValueError, match="n_micro"):
+        pipeline_forward(params, CFG, jnp.ones((6, 8), jnp.int32),
+                         jnp.ones((6, 8), jnp.int32), mesh4, n_micro=4)
+
+
+def test_sequence_parallel_train_step_matches():
+    """sp_mesh= shards the residual stream's sequence axis over tp
+    between blocks (Megatron sequence parallelism).  Pure placement:
+    loss and updated params must match the plain dp x tp step up to
+    reduction-order float noise."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(dp=2, tp=4)
+    rng = np.random.default_rng(13)
+    b, t = 4, 32
+    ids = jnp.asarray(rng.integers(1, CFG.vocab_size, (b, t)).astype(np.int32))
+    mask = jnp.ones((b, t), jnp.int32).at[:, t - 3:].set(0)
+    opt = default_optimizer(1e-3)
+
+    def sharded_setup(key=15):
+        p = shard_params(init_params(jax.random.PRNGKey(key), CFG,
+                                     with_visual=False),
+                         mesh, param_sharding_rules(with_visual=False))
+        batch = {"input_ids": jax.device_put(ids, batch_sharding(mesh)),
+                 "attn_mask": jax.device_put(mask, batch_sharding(mesh))}
+        return p, opt.init(p), batch
+
+    p1, o1, b1 = sharded_setup()
+    p1, _, l1 = make_train_step(CFG, opt)(p1, o1, b1)
+    p2, o2, b2 = sharded_setup()
+    p2, _, l2 = make_train_step(CFG, opt, sp_mesh=mesh, remat=True)(p2, o2, b2)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    # adamw's m/sqrt(v) amplifies reduction-order float noise on tiny
+    # grads (reduce-scatter vs all-reduce orders differ): 2e-4 rel seen
+    for a, c in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-3, atol=1e-5)
