@@ -103,6 +103,21 @@ def block(x: jnp.ndarray, layer: dict, cfg: QwenVLConfig,
     return x
 
 
+def remat_policy():
+    """Rematerialization policy for the scanned decoder block: save
+    matmul outputs (dots) AND the flash kernel's named residuals
+    (flash_out/flash_lse, see flash_attention._build_flash) — the
+    backward then recomputes only elementwise work; without the names,
+    every remat backward replayed the full flash forward kernel per
+    block just to regenerate the residuals its backward kernels read.
+    Saving them costs O(B*T*H) per block (the same order as the saved
+    dots), not O(T^2)."""
+    return jax.checkpoint_policies.save_from_both_policies(
+        jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        jax.checkpoint_policies.save_only_these_names(
+            "flash_out", "flash_lse"))
+
+
 def causal_mask(attn_mask: jnp.ndarray) -> jnp.ndarray:
     """attn_mask [B, T] (1 = real token) -> additive mask [B, 1, T, T]."""
     t = attn_mask.shape[-1]
@@ -164,8 +179,7 @@ def decoder(stacked_layers: dict, x: jnp.ndarray, cfg: QwenVLConfig,
         return block(h, layer, cfg, cos, sin, mask), None
 
     if remat:
-        step = jax.checkpoint(
-            step, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+        step = jax.checkpoint(step, policy=remat_policy())
     final, _ = jax.lax.scan(step, x, stacked_layers)
     if seq_sharding is not None:
         final = jax.lax.with_sharding_constraint(final, seq_sharding)

@@ -630,6 +630,15 @@ def _build_flash(causal: bool, interpret: bool, ref_bwd: bool):
         def fwd(q, k, v, bias):
             o, lse = _flash_impl(q, k, v, bias, causal, interpret,
                                  return_lse=True)
+            # named so a jax.checkpoint policy can SAVE the kernel's
+            # residuals across a remat boundary (see decoder.remat_policy):
+            # otherwise rematerialization replays the whole flash forward
+            # in the backward just to regenerate o/lse, even though the
+            # backward kernels only read them (q/k/v re-derive cheaply
+            # from the saved qkv projection dot).
+            from jax.ad_checkpoint import checkpoint_name
+            o = checkpoint_name(o, "flash_out")
+            lse = checkpoint_name(lse, "flash_lse")
             return o, (q, k, v, bias, o, lse)
 
         def bwd(res, g):

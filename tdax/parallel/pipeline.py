@@ -39,6 +39,7 @@ from tdax.models.qwen_vl.decoder import (AttnSpec, block, rms_norm,
                                          rotary_cos_sin)
 from tdax.models.qwen_vl.model import embed_inputs
 from tdax.models.qwen_vl.quantize import qdot
+from tdax.parallel.train import masked_ce
 
 
 def make_pp_mesh(pp: int, dp: int | None = None,
@@ -96,9 +97,8 @@ def pipeline_blocks(layers: dict, x: jnp.ndarray, cfg: QwenVLConfig,
             return block(carry, layer, cfg, cos, sin, mask), None
 
         if remat:
-            step = jax.checkpoint(
-                step,
-                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+            from tdax.models.qwen_vl.decoder import remat_policy
+            step = jax.checkpoint(step, policy=remat_policy())
         out, _ = jax.lax.scan(step, h, layers_local)
         return out
 
@@ -175,12 +175,7 @@ def make_train_step_pp(cfg: QwenVLConfig,
         logits = pipeline_forward(p, cfg, batch["input_ids"],
                                   batch["attn_mask"], mesh, n_micro,
                                   remat=remat)
-        targets = batch["input_ids"][:, 1:]
-        logits = logits[:, :-1]
-        m = (batch["attn_mask"][:, 1:] > 0).astype(jnp.float32)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-        return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+        return masked_ce(logits, batch["input_ids"], batch["attn_mask"])
 
     def step(params, opt_state, batch):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch)

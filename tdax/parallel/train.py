@@ -18,6 +18,24 @@ import optax
 from tdax.models.qwen_vl import QwenVLConfig, forward
 
 
+def masked_ce(logits: jnp.ndarray, input_ids: jnp.ndarray,
+              attn_mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked next-token cross entropy (mean over real target tokens).
+
+    Written as ``logsumexp(logits) - logits[target]`` rather than
+    gathering from ``log_softmax``: the logsumexp reduction fuses into
+    one pass over the [B, T, vocab] logits, where a log_softmax OUTPUT
+    (another full [B, T, vocab] f32 tensor) must materialize in HBM for
+    the gather — ~1 GB of extra traffic per step at the 1B bench config.
+    Same value to fp rounding (both are max-stabilized)."""
+    targets = input_ids[:, 1:]
+    logits = logits[:, :-1].astype(jnp.float32)
+    mask = (attn_mask[:, 1:] > 0).astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    picked = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
+    return jnp.sum((lse - picked) * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
 def lm_loss(params: dict, cfg: QwenVLConfig, input_ids: jnp.ndarray,
             attn_mask: jnp.ndarray,
             images: jnp.ndarray | None = None,
@@ -26,12 +44,7 @@ def lm_loss(params: dict, cfg: QwenVLConfig, input_ids: jnp.ndarray,
     """Masked next-token cross entropy (mean over real target tokens)."""
     logits = forward(params, cfg, input_ids, attn_mask, images, image_positions,
                      remat=remat, seq_sharding=seq_sharding)
-    targets = input_ids[:, 1:]
-    logits = logits[:, :-1]
-    mask = (attn_mask[:, 1:] > 0).astype(jnp.float32)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    return masked_ce(logits, input_ids, attn_mask)
 
 
 def make_train_step(cfg: QwenVLConfig, optimizer: optax.GradientTransformation,
