@@ -105,7 +105,7 @@ def train_loop(params: dict, cfg: QwenVLConfig, batches, n_steps: int,
                checkpoint_every: int = 100,
                resume: bool = True,
                with_images: bool = False, remat: bool = False,
-               verbose: bool = False):
+               sp_mesh=None, verbose: bool = False):
     """Minimal production fit loop with crash resume.
 
     ``batches`` is a callable ``step -> batch dict`` (a function of the
@@ -135,7 +135,8 @@ def train_loop(params: dict, cfg: QwenVLConfig, batches, n_steps: int,
     else:
         opt_state = opt.init(params)
 
-    step_fn = make_train_step(cfg, opt, with_images=with_images, remat=remat)
+    step_fn = make_train_step(cfg, opt, with_images=with_images,
+                              remat=remat, sp_mesh=sp_mesh)
     # Losses stay on device until the loop ends (or a checkpoint/verbose
     # print forces a sync anyway): float(loss) every step would insert a
     # host round-trip between dispatches, serializing the pipeline — on
