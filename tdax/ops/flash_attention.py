@@ -102,25 +102,34 @@ def flash_enabled() -> bool:
     return flash_mode() is not None
 
 
-# Active (mesh, batch_axis, head_axis) for multi-chip flash — a stack so
-# nested scopes restore correctly.  Set via flash_sharding().
+# Active (mesh, batch_axis, head_axis, seq_axis) for multi-chip flash —
+# a stack so nested scopes restore correctly.  Set via flash_sharding().
 _SHARD_CTX: list[tuple] = []
 
 
 @contextlib.contextmanager
 def flash_sharding(mesh, batch_axis: str | None = "dp",
-                   head_axis: str | None = None):
+                   head_axis: str | None = None,
+                   seq_axis: str | None = None):
     """Declare how attention inputs are sharded so ``mha`` can run the
     Pallas kernel per-shard under ``jax.shard_map``.
 
     Batch and head are the kernel's fully-parallel dims; q/k/v are
     treated as P(batch_axis, None, head_axis, None) and the key-validity
-    bias as P(batch_axis, None).  Sequence/head_dim sharding is not
-    supported (attention reduces over keys) — leave those axes off the
-    mesh or use TDAX_NO_FLASH=1.  This replaces the reference's
+    bias as P(batch_axis, None).  This replaces the reference's
     device_map="auto" placement (extract_activations.py:26) for the
-    attention hot path."""
-    _SHARD_CTX.append((mesh, batch_axis, head_axis))
+    attention hot path.
+
+    ``seq_axis`` additionally turns on CONTEXT PARALLELISM: the
+    sequence axis of q/k/v is sharded over that mesh axis and attention
+    runs as a ring — each device holds one sequence chunk, k/v chunks
+    rotate around the ring via ``lax.ppermute``, and per-chunk partial
+    softmax results merge through their log-normalizers (see
+    tdax.ops.ring_attention).  Requires self-attention (Tq == Tk) with
+    Tq divisible by the axis size; other calls under the context warn
+    and take the replicated path.  head_dim sharding is never
+    supported (attention reduces over it)."""
+    _SHARD_CTX.append((mesh, batch_axis, head_axis, seq_axis))
     try:
         yield
     finally:
@@ -664,6 +673,52 @@ def _get_flash(causal: bool, interpret: bool):
                         os.environ.get("TDAX_FLASH_REF_BWD") == "1")
 
 
+@functools.lru_cache(maxsize=None)
+def _build_flash_lse(causal: bool, interpret: bool):
+    """Differentiable ``(o, lse)`` flash attention — the ring /
+    context-parallel merge (tdax.ops.ring_attention) needs each chunk's
+    softmax log-normalizer as a first-class, differentiated output.
+
+    No new kernels: the lse cotangent folds into the existing tiled
+    backward.  With p_ij = exp(s_ij - lse_i), d lse_i / d s_ij = p_ij,
+    so the total logit gradient is
+        ds_ij = p_ij * (dp_ij - delta_i) + dlse_i * p_ij
+              = p_ij * (dp_ij - (delta_i - dlse_i)),
+    i.e. the dq/dk/dv kernels run unchanged with the per-row constant
+    delta' = rowsum(dO * O) - dlse.  (dv has no lse term: lse does not
+    depend on v.)"""
+
+    @jax.custom_vjp
+    def f(q, k, v, bias):
+        return _flash_impl(q, k, v, bias, causal, interpret,
+                           return_lse=True)
+
+    def fwd(q, k, v, bias):
+        o, lse = _flash_impl(q, k, v, bias, causal, interpret,
+                             return_lse=True)
+        from jax.ad_checkpoint import checkpoint_name
+        o = checkpoint_name(o, "flash_out")
+        lse = checkpoint_name(lse, "flash_lse")
+        return (o, lse), (q, k, v, bias, o, lse)
+
+    def bwd(res, g):
+        q, k, v, bias, o, lse = res
+        do, dlse = g
+        b, tq, nh, _ = q.shape
+        tq_pad = _round_up(tq, 128)
+        delta = jnp.einsum("bqhd,bqhd->bhq", do, o,
+                           preferred_element_type=jnp.float32)
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, tq_pad - tq)))
+        delta = delta.reshape(b * nh, 1, tq_pad)
+        delta = delta - dlse.astype(jnp.float32)
+        dq, dk, dv = _flash_bwd_impl(q, k, v, bias, lse, delta, do,
+                                     causal, interpret)
+        return dq, dk, dv, jnp.zeros_like(bias)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def mha(q, k, v, mask) -> jnp.ndarray:
     """Multi-head attention used by decoder, ViT, resampler, and prefill.
 
@@ -677,6 +732,30 @@ def mha(q, k, v, mask) -> jnp.ndarray:
     with a warning rather than hitting an unpartitionable pallas_call.
     Returns [B, Tq, nh, hd]."""
     if isinstance(mask, AttnSpec):
+        ctx = current_flash_sharding()
+        if ctx is not None and ctx[3] is not None:
+            # context parallelism: sequence-sharded ring attention.
+            # Routed regardless of flash_mode() — the ring is a SHARDING
+            # semantics (chunk rotation + lse merge), needed whenever the
+            # sequence axis lives on the mesh; each chunk's attention
+            # uses the Pallas kernel when available and an einsum-with-
+            # lse path otherwise.
+            from tdax.ops.ring_attention import ring_attention
+            mesh, b_ax, h_ax, s_ax = ctx
+            b, tq, nh = q.shape[0], q.shape[1], q.shape[2]
+            tk = k.shape[1]
+            n_b = mesh.shape[b_ax] if b_ax else 1
+            n_h = mesh.shape[h_ax] if h_ax else 1
+            n_s = mesh.shape[s_ax]
+            if (tq == tk and tq % n_s == 0 and b % n_b == 0
+                    and nh % n_h == 0):
+                return ring_attention(q, k, v, mask.kv_valid, mask.causal,
+                                      mesh, b_ax, h_ax, s_ax)
+            _warn_once(
+                f"flash_sharding seq_axis={s_ax}({n_s}) needs"
+                f" self-attention with divisible dims (Tq={tq}, Tk={tk},"
+                f" batch={b}%{n_b}, heads={nh}%{n_h}); using the"
+                " replicated attention path for this call")
         mode = flash_mode()
         if mode is not None:
             b, nh, tk = q.shape[0], q.shape[2], k.shape[1]
@@ -686,9 +765,8 @@ def mha(q, k, v, mask) -> jnp.ndarray:
             else:
                 bias = jnp.zeros((b, tk), jnp.float32)
             fn = _get_flash(mask.causal, mode == "interpret")
-            ctx = current_flash_sharding()
             if ctx is not None:
-                mesh, b_ax, h_ax = ctx
+                mesh, b_ax, h_ax, _s_ax = ctx
                 n_b = mesh.shape[b_ax] if b_ax else 1
                 n_h = mesh.shape[h_ax] if h_ax else 1
                 if b % n_b == 0 and nh % n_h == 0:

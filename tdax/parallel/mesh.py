@@ -17,14 +17,21 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(dp: int | None = None, tp: int = 1,
+def make_mesh(dp: int | None = None, tp: int = 1, cp: int = 1,
               devices: list | None = None) -> Mesh:
+    """dp x tp mesh; ``cp > 1`` adds a context-parallel axis (ring
+    attention over sequence chunks, tdax.ops.ring_attention) as the
+    innermost — its per-step neighbor ppermute is the most
+    latency-sensitive collective, so it gets the closest ICI links."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if dp is None:
-        dp = n // tp
-    if dp * tp != n:
-        raise ValueError(f"dp*tp = {dp}*{tp} != {n} devices")
+        dp = n // (tp * cp)
+    if dp * tp * cp != n:
+        raise ValueError(f"dp*tp*cp = {dp}*{tp}*{cp} != {n} devices")
+    if cp > 1:
+        grid = np.asarray(devices).reshape(dp, tp, cp)
+        return Mesh(grid, ("dp", "tp", "cp"))
     grid = np.asarray(devices).reshape(dp, tp)
     return Mesh(grid, ("dp", "tp"))
 

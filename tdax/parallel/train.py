@@ -49,7 +49,7 @@ def lm_loss(params: dict, cfg: QwenVLConfig, input_ids: jnp.ndarray,
 
 def make_train_step(cfg: QwenVLConfig, optimizer: optax.GradientTransformation,
                     with_images: bool = False, remat: bool = False,
-                    sp_mesh=None):
+                    sp_mesh=None, cp_mesh=None):
     """Returns train_step(params, opt_state, batch) -> (params, opt_state, loss).
 
     ``batch``: dict with input_ids/attn_mask (+ images/image_positions
@@ -61,18 +61,45 @@ def make_train_step(cfg: QwenVLConfig, optimizer: optax.GradientTransformation,
     params are sharded over) additionally turns on sequence parallelism:
     the residual stream between blocks is sharded over tp on the
     sequence axis (see tdax.models.qwen_vl.decoder).
+
+    ``cp_mesh`` (a mesh with "dp" and "cp" axes) turns on CONTEXT
+    PARALLELISM instead: activations are sharded over cp on the
+    sequence axis end to end — norms/MLP/loss are sequence-local under
+    GSPMD, and attention (the only sequence-coupled op) runs as ring
+    attention over the cp axis (tdax.ops.ring_attention): k/v chunks
+    rotate via lax.ppermute, partial softmax results merge through
+    their log-normalizers.  Per-device activation memory scales as
+    T/cp — the axis for sequences too long for one chip.  Mutually
+    exclusive with sp_mesh (both claim the sequence axis).
     """
+    if sp_mesh is not None and cp_mesh is not None:
+        raise ValueError("sp_mesh and cp_mesh are mutually exclusive: "
+                         "both shard the sequence axis (over tp and cp "
+                         "respectively)")
     seq_sharding = None
     if sp_mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         seq_sharding = NamedSharding(sp_mesh, P("dp", "tp", None))
+    if cp_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        seq_sharding = NamedSharding(cp_mesh, P("dp", "cp", None))
 
     def step(params, opt_state, batch):
         def loss_fn(p):
-            return lm_loss(p, cfg, batch["input_ids"], batch["attn_mask"],
-                           batch.get("images") if with_images else None,
-                           batch.get("image_positions") if with_images else None,
-                           remat=remat, seq_sharding=seq_sharding)
+            if cp_mesh is not None:
+                from tdax.ops.flash_attention import flash_sharding
+                h_ax = "tp" if "tp" in cp_mesh.axis_names else None
+                ctx = flash_sharding(cp_mesh, batch_axis="dp",
+                                     head_axis=h_ax, seq_axis="cp")
+            else:
+                import contextlib
+                ctx = contextlib.nullcontext()
+            with ctx:
+                return lm_loss(
+                    p, cfg, batch["input_ids"], batch["attn_mask"],
+                    batch.get("images") if with_images else None,
+                    batch.get("image_positions") if with_images else None,
+                    remat=remat, seq_sharding=seq_sharding)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)

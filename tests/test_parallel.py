@@ -284,3 +284,47 @@ def test_sequence_parallel_train_step_matches():
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_context_parallel_train_step_matches():
+    """cp_mesh= shards the sequence axis over a cp ring (context
+    parallelism, tdax.ops.ring_attention): attention runs as a
+    ppermute ring with log-normalizer merges, everything else is
+    sequence-local under GSPMD.  Pure placement: loss and updated
+    params must match the plain dp x tp step."""
+    rng = np.random.default_rng(21)
+    b, t = 4, 32
+    ids = jnp.asarray(rng.integers(1, CFG.vocab_size, (b, t)).astype(np.int32))
+    mask = jnp.ones((b, t), jnp.int32).at[:, t - 3:].set(0)
+    opt = default_optimizer(1e-3)
+
+    def setup(mesh, key=15):
+        p = shard_params(init_params(jax.random.PRNGKey(key), CFG,
+                                     with_visual=False),
+                         mesh, param_sharding_rules(with_visual=False))
+        batch = {"input_ids": jax.device_put(ids, batch_sharding(mesh)),
+                 "attn_mask": jax.device_put(mask, batch_sharding(mesh))}
+        return p, opt.init(p), batch
+
+    p1, o1, b1 = setup(make_mesh(dp=2, tp=4))
+    p1, _, l1 = make_train_step(CFG, opt)(p1, o1, b1)
+
+    # dp x cp, with remat (the long-sequence configuration cp exists for)
+    mesh_cp = make_mesh(dp=2, tp=1, cp=4)
+    p2, o2, b2 = setup(mesh_cp)
+    p2, _, l2 = make_train_step(CFG, opt, cp_mesh=mesh_cp, remat=True)(
+        p2, o2, b2)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    for a, c in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-3, atol=1e-5)
+
+    # all three axes at once: heads over tp inside the ring
+    mesh_all = make_mesh(dp=2, tp=2, cp=2)
+    p3, o3, b3 = setup(mesh_all)
+    p3, _, l3 = make_train_step(CFG, opt, cp_mesh=mesh_all)(p3, o3, b3)
+    np.testing.assert_allclose(float(l3), float(l1), rtol=1e-6)
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        make_train_step(CFG, opt, sp_mesh=mesh_cp, cp_mesh=mesh_cp)
