@@ -8,13 +8,16 @@ samples, Megatron-style tensor-parallel over heads/FFN), and XLA
 collectives inserted by GSPMD — no NCCL/MPI analogue is needed.
 """
 
-from tdax.parallel.mesh import make_mesh, param_sharding_rules, shard_params
+from tdax.parallel.mesh import (fsdp_sharding_rules, make_mesh,
+                                named_shardings, param_sharding_rules,
+                                shard_params)
 from tdax.parallel.pipeline import (make_pp_mesh, make_train_step_pp,
                                     pipeline_forward, shard_params_pp)
 from tdax.parallel.train import (default_optimizer, lm_loss, make_train_step,
                                  train_loop, warmup_cosine_lr)
 
 __all__ = ["make_mesh", "param_sharding_rules", "shard_params",
+           "fsdp_sharding_rules", "named_shardings",
            "lm_loss", "make_train_step", "train_loop",
            "default_optimizer", "warmup_cosine_lr",
            "make_pp_mesh", "pipeline_forward", "shard_params_pp",

@@ -90,6 +90,65 @@ def shard_params(params: dict, mesh: Mesh, rules: dict | None = None) -> dict:
                         is_leaf=lambda x: isinstance(x, P))
 
 
+def fsdp_sharding_rules(params: dict, dp: int, base_rules: dict | None = None,
+                        min_size: int = 2 ** 14) -> dict:
+    """ZeRO-3-style parameter sharding rules (FSDP).
+
+    Extends the Megatron tp rules: each large leaf is ADDITIONALLY
+    sharded over the ``dp`` axis on its largest tp-free dimension
+    divisible by ``dp``, so parameters, gradients, and optimizer
+    moments all live 1/dp-sized per device.  GSPMD turns this into the
+    ZeRO-3 schedule automatically — weights are all-gathered over dp
+    just before each layer's matmuls (re-gathered in the backward under
+    remat) and gradients arrive via reduce-scatter instead of
+    all-reduce, so peak HBM holds one layer's gathered weights instead
+    of the whole replicated model.  The reference has no training
+    subsystem at all (SURVEY §2.3); this is the standard production
+    recipe for models whose optimizer state outgrows one device.
+
+    Rules of thumb encoded here:
+    - leaves smaller than ``min_size`` elements (norm scales, biases)
+      stay on the base rule — sharding them buys nothing and every
+      gather is a latency-bound collective;
+    - stacked per-layer leaves (under ``layers``/``blocks``, leading
+      axis = layer index that ``lax.scan`` slices) never shard dim 0:
+      a dynamic-slice across a sharded scan axis would force a gather
+      of the WHOLE stack per step;
+    - the dim already carrying "tp" is skipped (a dim can host one
+      mesh axis).
+
+    ``params`` may be real arrays or ``jax.eval_shape`` abstractions —
+    only shapes are read.
+    """
+    base = base_rules or param_sharding_rules("visual" in params)
+
+    def extend(path, leaf, spec):
+        base_spec = spec
+        spec = tuple(spec) + (None,) * (leaf.ndim - len(spec))
+        if leaf.size < min_size:
+            return base_spec
+        stacked = any(getattr(k, "key", None) in ("layers", "blocks")
+                      for k in path)
+        cand = [(leaf.shape[d], d) for d in range(1 if stacked else 0, leaf.ndim)
+                if spec[d] is None and leaf.shape[d] % dp == 0]
+        if not cand:
+            return base_spec
+        d = max(cand)[1]
+        out = ["dp" if i == d else s for i, s in enumerate(spec)]
+        while out and out[-1] is None:   # P(a, None) and P(a) are distinct
+            out.pop()                    # tuples; keep the canonical short form
+        return P(*out)
+
+    return jax.tree_util.tree_map_with_path(extend, params, base)
+
+
+def named_shardings(mesh: Mesh, rules: dict) -> dict:
+    """PartitionSpec pytree -> NamedSharding pytree (for
+    with_sharding_constraint / device_put)."""
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), rules,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("dp"))
 

@@ -18,9 +18,14 @@ import optax
 from tdax.models.qwen_vl import QwenVLConfig, forward
 
 
-def masked_ce(logits: jnp.ndarray, input_ids: jnp.ndarray,
-              attn_mask: jnp.ndarray) -> jnp.ndarray:
-    """Masked next-token cross entropy (mean over real target tokens).
+def masked_ce_parts(logits: jnp.ndarray, input_ids: jnp.ndarray,
+                    attn_mask: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(sum of masked next-token CE, number of real target tokens).
+
+    The unreduced form exists for gradient accumulation: summing
+    (ce_sum, n_tokens) over microbatches and dividing ONCE reproduces
+    the full-batch mean exactly even when microbatches carry different
+    numbers of real tokens (a mean-of-means would not).
 
     Written as ``logsumexp(logits) - logits[target]`` rather than
     gathering from ``log_softmax``: the logsumexp reduction fuses into
@@ -33,7 +38,14 @@ def masked_ce(logits: jnp.ndarray, input_ids: jnp.ndarray,
     mask = (attn_mask[:, 1:] > 0).astype(jnp.float32)
     lse = jax.scipy.special.logsumexp(logits, axis=-1)
     picked = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
-    return jnp.sum((lse - picked) * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.sum((lse - picked) * mask), jnp.sum(mask)
+
+
+def masked_ce(logits: jnp.ndarray, input_ids: jnp.ndarray,
+              attn_mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked next-token cross entropy (mean over real target tokens)."""
+    ce_sum, n = masked_ce_parts(logits, input_ids, attn_mask)
+    return ce_sum / jnp.maximum(n, 1.0)
 
 
 def lm_loss(params: dict, cfg: QwenVLConfig, input_ids: jnp.ndarray,
@@ -49,7 +61,8 @@ def lm_loss(params: dict, cfg: QwenVLConfig, input_ids: jnp.ndarray,
 
 def make_train_step(cfg: QwenVLConfig, optimizer: optax.GradientTransformation,
                     with_images: bool = False, remat: bool = False,
-                    sp_mesh=None, cp_mesh=None):
+                    sp_mesh=None, cp_mesh=None, param_shardings=None,
+                    accum_steps: int = 1):
     """Returns train_step(params, opt_state, batch) -> (params, opt_state, loss).
 
     ``batch``: dict with input_ids/attn_mask (+ images/image_positions
@@ -71,6 +84,21 @@ def make_train_step(cfg: QwenVLConfig, optimizer: optax.GradientTransformation,
     their log-normalizers.  Per-device activation memory scales as
     T/cp — the axis for sequences too long for one chip.  Mutually
     exclusive with sp_mesh (both claim the sequence axis).
+
+    ``param_shardings`` (a NamedSharding pytree matching params, built
+    from tdax.parallel.fsdp_sharding_rules + named_shardings) turns on
+    FSDP/ZeRO-3: gradients are constrained into the dp-sharded layout
+    (reduce-scatter instead of all-reduce) and updated params back into
+    it, so params + grads + adamw moments all stay 1/dp per device;
+    GSPMD inserts the per-layer weight all-gathers.  Pure placement —
+    same math as the replicated step.
+
+    ``accum_steps > 1`` turns on gradient accumulation: every batch
+    leaf carries a leading [accum_steps, ...] microbatch axis and the
+    step scans over it, accumulating loss numerator/denominator and
+    f32 gradient sums, then applies ONE optimizer update.  Exactly the
+    full-batch gradient (token-weighted, not mean-of-means), at the
+    activation memory of one microbatch.
     """
     if sp_mesh is not None and cp_mesh is not None:
         raise ValueError("sp_mesh and cp_mesh are mutually exclusive: "
@@ -84,26 +112,60 @@ def make_train_step(cfg: QwenVLConfig, optimizer: optax.GradientTransformation,
         from jax.sharding import NamedSharding, PartitionSpec as P
         seq_sharding = NamedSharding(cp_mesh, P("dp", "cp", None))
 
-    def step(params, opt_state, batch):
-        def loss_fn(p):
-            if cp_mesh is not None:
-                from tdax.ops.flash_attention import flash_sharding
-                h_ax = "tp" if "tp" in cp_mesh.axis_names else None
-                ctx = flash_sharding(cp_mesh, batch_axis="dp",
-                                     head_axis=h_ax, seq_axis="cp")
-            else:
-                import contextlib
-                ctx = contextlib.nullcontext()
-            with ctx:
-                return lm_loss(
-                    p, cfg, batch["input_ids"], batch["attn_mask"],
-                    batch.get("images") if with_images else None,
-                    batch.get("image_positions") if with_images else None,
-                    remat=remat, seq_sharding=seq_sharding)
+    def attn_ctx():
+        if cp_mesh is not None:
+            from tdax.ops.flash_attention import flash_sharding
+            h_ax = "tp" if "tp" in cp_mesh.axis_names else None
+            return flash_sharding(cp_mesh, batch_axis="dp",
+                                  head_axis=h_ax, seq_axis="cp")
+        import contextlib
+        return contextlib.nullcontext()
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+    def constrain(tree):
+        if param_shardings is None:
+            return tree
+        return jax.lax.with_sharding_constraint(tree, param_shardings)
+
+    def loss_parts_fn(p, b):
+        """(ce_sum, n_tokens) on one (micro)batch — summed, not meaned,
+        so accumulation over microbatches is exact."""
+        with attn_ctx():
+            logits = forward(
+                p, cfg, b["input_ids"], b["attn_mask"],
+                b.get("images") if with_images else None,
+                b.get("image_positions") if with_images else None,
+                remat=remat, seq_sharding=seq_sharding)
+        ce_sum, n = masked_ce_parts(logits, b["input_ids"], b["attn_mask"])
+        return ce_sum, n
+
+    def step(params, opt_state, batch):
+        if accum_steps == 1:
+            def loss_fn(p):
+                ce_sum, n = loss_parts_fn(p, batch)
+                return ce_sum / jnp.maximum(n, 1.0)
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+        else:
+            def body(carry, microbatch):
+                acc_g, acc_ce, acc_n = carry
+                (ce_sum, n), g = jax.value_and_grad(
+                    loss_parts_fn, has_aux=True)(params, microbatch)
+                # f32 accumulator: bf16 grads would lose low bits over
+                # the sum; sharded like the params (1/dp under FSDP)
+                acc_g = constrain(jax.tree.map(
+                    lambda a, b: a + b.astype(a.dtype), acc_g, g))
+                return (acc_g, acc_ce + ce_sum, acc_n + n), None
+            zeros = constrain(jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), params))
+            (g_sum, ce_sum, n), _ = jax.lax.scan(
+                body, (zeros, jnp.float32(0), jnp.float32(0)), batch)
+            n = jnp.maximum(n, 1.0)
+            loss = ce_sum / n
+            grads = jax.tree.map(lambda g, p: (g / n).astype(p.dtype),
+                                 g_sum, params)
+
+        grads = constrain(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        params = constrain(optax.apply_updates(params, updates))
         return params, opt_state, loss
 
     return jax.jit(step, donate_argnums=(0, 1))
@@ -132,7 +194,8 @@ def train_loop(params: dict, cfg: QwenVLConfig, batches, n_steps: int,
                checkpoint_every: int = 100,
                resume: bool = True,
                with_images: bool = False, remat: bool = False,
-               sp_mesh=None, verbose: bool = False):
+               sp_mesh=None, cp_mesh=None, param_shardings=None,
+               accum_steps: int = 1, verbose: bool = False):
     """Minimal production fit loop with crash resume.
 
     ``batches`` is a callable ``step -> batch dict`` (a function of the
@@ -163,7 +226,9 @@ def train_loop(params: dict, cfg: QwenVLConfig, batches, n_steps: int,
         opt_state = opt.init(params)
 
     step_fn = make_train_step(cfg, opt, with_images=with_images,
-                              remat=remat, sp_mesh=sp_mesh)
+                              remat=remat, sp_mesh=sp_mesh, cp_mesh=cp_mesh,
+                              param_shardings=param_shardings,
+                              accum_steps=accum_steps)
     # Losses stay on device until the loop ends (or a checkpoint/verbose
     # print forces a sync anyway): float(loss) every step would insert a
     # host round-trip between dispatches, serializing the pipeline — on

@@ -144,40 +144,43 @@ def extract_activations(metadata: list[dict], output_path: str,
 
     dp_shard = _dp_sharding(bs)
 
+    # The batch loop is a 3-stage software pipeline: while the device
+    # runs batch i, a background thread decodes batch i+1's images (PIL
+    # releases the GIL in its C decoders) and batch i-1's result is
+    # drained to host.  jax dispatch is async, so run() returns
+    # immediately and the only forced sync is the one-batch-late
+    # np.asarray — host decode, device compute, and the relay download
+    # all overlap instead of serializing.  At most two batch outputs
+    # are in flight in HBM.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def host_prep(chunk):
+        # numpy/PIL only — device_put stays on the main thread
+        rows = np.asarray([row_of[m["id"]] for m in chunk]
+                          + [row_of[chunk[0]["id"]]] * (bs - len(chunk)))
+        # (pad the ragged final chunk back up to batch_size by repeating
+        # its first row: one static shape -> one XLA compile, dp sharding
+        # kept for the tail; padded results are sliced off when drained)
+        image_paths = [encoded["image_paths"][r] for r in rows]
+        images = load_image_batch(image_paths, cfg.visual.image_size)
+        return [enc_ids[rows], enc_mask[rows],
+                encoded["last_token_idx"][rows],
+                images.astype(np.float32), encoded["image_positions"][rows]]
+
     collected_ids = list(done_ids)
     collected: list[np.ndarray] = [] if done_acts is None else [done_acts]
     since_save = 0
-    for start in range(0, len(todo), bs):
-        chunk = todo[start:start + bs]
-        # pad the ragged final chunk back up to batch_size by repeating its
-        # first row: one static shape -> one XLA compile, dp sharding kept
-        # for the tail; padded results are sliced off below.
-        rows = np.asarray([row_of[m["id"]] for m in chunk]
-                          + [row_of[chunk[0]["id"]]] * (bs - len(chunk)))
-        image_paths = [encoded["image_paths"][r] for r in rows]
-        images = load_image_batch(image_paths, cfg.visual.image_size)
+    batches = [todo[s:s + bs] for s in range(0, len(todo), bs)]
+    pending: tuple | None = None  # (device acts, chunk) not yet drained
 
-        args = [enc_ids[rows], enc_mask[rows],
-                encoded["last_token_idx"][rows],
-                images.astype(np.float32), encoded["image_positions"][rows]]
-        if dp_shard is not None:
-            mesh, sharding = dp_shard
-            args = [jax.device_put(a, sharding) for a in args]
-            # per-shard flash attention under the dp mesh: without this
-            # context the batched forward's pallas_call is opaque to the
-            # partitioner (mha falls back to the einsum path)
-            with flash_sharding(mesh, batch_axis="dp"):
-                acts = np.asarray(run(params, *args), dtype=np.float32)
-        else:
-            acts = np.asarray(run(params, *args), dtype=np.float32)  # [L, bs, H]
-        acts = acts[:, :len(chunk)]
-
+    def drain(acts_dev, chunk):
+        nonlocal since_save, collected
+        acts = np.asarray(acts_dev, dtype=np.float32)[:, :len(chunk)]
         collected.append(acts)
         collected_ids.extend(m["id"] for m in chunk)
         since_save += len(chunk)
         if verbose:
             print(f"  extracted {len(collected_ids)}/{len(metadata)}", flush=True)
-
         if since_save >= extract_cfg.save_interval:
             all_acts = np.concatenate(collected, axis=1)
             save_activations_npz(tmp_path, all_acts, collected_ids, metadata)
@@ -185,6 +188,28 @@ def extract_activations(metadata: list[dict], output_path: str,
             since_save = 0
             if verbose:
                 print(f"Checkpoint: Saving {len(collected_ids)} samples...")
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(host_prep, batches[0]) if batches else None
+        for i, chunk in enumerate(batches):
+            args = fut.result()
+            fut = (pool.submit(host_prep, batches[i + 1])
+                   if i + 1 < len(batches) else None)
+            if dp_shard is not None:
+                mesh, sharding = dp_shard
+                args = [jax.device_put(a, sharding) for a in args]
+                # per-shard flash attention under the dp mesh: without
+                # this context the batched forward's pallas_call is
+                # opaque to the partitioner (mha falls back to einsum)
+                with flash_sharding(mesh, batch_axis="dp"):
+                    acts_dev = run(params, *args)
+            else:
+                acts_dev = run(params, *args)  # [L, bs, H], async
+            if pending is not None:
+                drain(*pending)
+            pending = (acts_dev, chunk)
+        if pending is not None:
+            drain(*pending)
 
     global LAST_TRACE_COUNT
     LAST_TRACE_COUNT = trace_count[0]

@@ -328,3 +328,154 @@ def test_context_parallel_train_step_matches():
 
     with pytest.raises(ValueError, match="mutually exclusive"):
         make_train_step(CFG, opt, sp_mesh=mesh_cp, cp_mesh=mesh_cp)
+
+
+def test_fsdp_sharding_rules_structure():
+    """Rules: large leaves gain a "dp" dim (never dim 0 of stacked
+    per-layer leaves, never the tp dim); small leaves stay replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    from tdax.parallel import fsdp_sharding_rules
+
+    params = init_params(jax.random.PRNGKey(0), CFG, with_visual=False)
+    rules = fsdp_sharding_rules(params, dp=2,
+                                base_rules=param_sharding_rules(False))
+
+    # stacked leaf [L, H, 3H]: tp on dim 2 -> dp lands on dim 1, not 0
+    assert rules["layers"]["attn_qkv_w"] == P(None, "dp", "tp")
+    # norms are tiny -> untouched
+    assert rules["layers"]["ln_1"] == P()
+    # wte [vocab, H] has no scan axis -> dp on its largest dim (vocab)
+    assert rules["wte"] == P("dp")
+    # every leaf's dp-sharded dim must actually divide
+    def check(path, leaf, spec):
+        for d, ax in enumerate(tuple(spec)):
+            if ax is not None:
+                assert leaf.shape[d] % 2 == 0
+        return spec
+    jax.tree_util.tree_map_with_path(check, params, rules)
+
+
+def test_fsdp_train_step_matches_plain():
+    """FSDP/ZeRO-3 placement: params + grads + moments dp-sharded, math
+    identical to the replicated dp x tp step.  Also asserts the state
+    actually lives 1/dp per device."""
+    from tdax.parallel import fsdp_sharding_rules, named_shardings
+
+    mesh = make_mesh(dp=4, tp=2)
+    rng = np.random.default_rng(31)
+    b, t = 4, 32
+    ids = jnp.asarray(rng.integers(1, CFG.vocab_size, (b, t)).astype(np.int32))
+    mask = jnp.ones((b, t), jnp.int32).at[:, t - 3:].set(0)
+    opt = default_optimizer(1e-3)
+
+    def setup(rules, key=15):
+        p = shard_params(init_params(jax.random.PRNGKey(key), CFG,
+                                     with_visual=False), mesh, rules)
+        batch = {"input_ids": jax.device_put(ids, batch_sharding(mesh)),
+                 "attn_mask": jax.device_put(mask, batch_sharding(mesh))}
+        # opt.init under jit so GSPMD propagates the param sharding
+        # into the adamw moments (the ZeRO-1 half of the recipe)
+        return p, jax.jit(opt.init)(p), batch
+
+    p1, o1, b1 = setup(param_sharding_rules(False))
+    p1, _, l1 = make_train_step(CFG, opt)(p1, o1, b1)
+
+    base = param_sharding_rules(False)
+    rules = fsdp_sharding_rules(
+        jax.eval_shape(lambda k: init_params(k, CFG, with_visual=False),
+                       jax.random.PRNGKey(15)),
+        dp=4, base_rules=base)
+    shardings = named_shardings(mesh, rules)
+    p2, o2, b2 = setup(rules)
+    step = make_train_step(CFG, opt, remat=True, param_shardings=shardings)
+    p2, o2, l2 = step(p2, o2, b2)
+
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    for a, c in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=2e-3, atol=3e-5)
+
+    # the updated qkv weight and its adamw moments are 1/dp per device
+    w = p2["layers"]["attn_qkv_w"]
+    assert w.addressable_shards[0].data.size == w.size // 8  # dp4 x tp2
+    mu = jax.tree_util.tree_leaves(
+        o2, is_leaf=lambda x: hasattr(x, "addressable_shards"))
+    big = [m for m in mu if hasattr(m, "addressable_shards")
+           and m.size == w.size]
+    assert big and all(
+        m.addressable_shards[0].data.size == w.size // 8 for m in big)
+
+
+def test_grad_accum_matches_full_batch():
+    """accum_steps=k over [k, mb, ...] microbatches == one full-batch
+    step, including non-uniform mask counts across microbatches (the
+    token-weighted accumulation, not a mean-of-means)."""
+    params = init_params(jax.random.PRNGKey(5), CFG, with_visual=False)
+    opt = default_optimizer(1e-3)
+    rng = np.random.default_rng(7)
+    b, t = 8, 16
+    ids = jnp.asarray(rng.integers(1, CFG.vocab_size, (b, t)).astype(np.int32))
+    # microbatches see DIFFERENT real-token counts
+    mask = jnp.ones((b, t), jnp.int32)
+    mask = mask.at[:3, t - 9:].set(0).at[5:, t - 2:].set(0)
+
+    full = {"input_ids": ids, "attn_mask": mask}
+    p1, _, l1 = make_train_step(CFG, opt)(params, opt.init(params), full)
+
+    # the step donates params/opt_state -> fresh copies for run 2
+    params = init_params(jax.random.PRNGKey(5), CFG, with_visual=False)
+    micro = {"input_ids": ids.reshape(4, 2, t), "attn_mask": mask.reshape(4, 2, t)}
+    p2, _, l2 = make_train_step(CFG, opt, accum_steps=4)(
+        params, opt.init(params), micro)
+
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    # adamw's m/sqrt(v) amplifies the scan-order float noise on tiny
+    # grads just like reduction order does on the mesh tests
+    for a, c in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=2e-3, atol=3e-5)
+
+
+def test_grad_accum_composes_with_fsdp():
+    """accum + FSDP + remat together (the production memory recipe):
+    same result as the plain full-batch replicated step."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tdax.parallel import fsdp_sharding_rules, named_shardings
+
+    mesh = make_mesh(dp=2, tp=4)
+    rng = np.random.default_rng(11)
+    b, t = 4, 16
+    ids = jnp.asarray(rng.integers(1, CFG.vocab_size, (b, t)).astype(np.int32))
+    mask = jnp.ones((b, t), jnp.int32).at[:2, t - 5:].set(0)
+    opt = default_optimizer(1e-3)
+
+    params = init_params(jax.random.PRNGKey(3), CFG, with_visual=False)
+    full = {"input_ids": ids, "attn_mask": mask}
+    p1, _, l1 = make_train_step(CFG, opt)(params, opt.init(params), full)
+
+    # the step donates params -> fresh copy for the sharded run
+    params = init_params(jax.random.PRNGKey(3), CFG, with_visual=False)
+    rules = fsdp_sharding_rules(params, dp=2,
+                                base_rules=param_sharding_rules(False))
+    shardings = named_shardings(mesh, rules)
+    p2 = shard_params(params, mesh, rules)
+    o2 = jax.jit(opt.init)(p2)
+    micro = {
+        "input_ids": jax.device_put(ids.reshape(2, 2, t),
+                                    NamedSharding(mesh, P(None, "dp"))),
+        "attn_mask": jax.device_put(mask.reshape(2, 2, t),
+                                    NamedSharding(mesh, P(None, "dp"))),
+    }
+    step = make_train_step(CFG, opt, remat=True, param_shardings=shardings,
+                           accum_steps=2)
+    p2, _, l2 = step(p2, o2, micro)
+
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    for a, c in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=2e-3, atol=3e-5)
