@@ -195,7 +195,8 @@ def train_loop(params: dict, cfg: QwenVLConfig, batches, n_steps: int,
                resume: bool = True,
                with_images: bool = False, remat: bool = False,
                sp_mesh=None, cp_mesh=None, param_shardings=None,
-               accum_steps: int = 1, verbose: bool = False):
+               accum_steps: int = 1, log_every: int = 50,
+               verbose: bool = False):
     """Minimal production fit loop with crash resume.
 
     ``batches`` is a callable ``step -> batch dict`` (a function of the
@@ -235,12 +236,28 @@ def train_loop(params: dict, cfg: QwenVLConfig, batches, n_steps: int,
     # this project's relayed TPU (erratic dispatch latency) that costs
     # far more than the step itself.
     device_losses = []
+    import time as _time
+
+    from tdax.utils.log import log_event
+
+    t_window = _time.time()
+    tokens_window = 0
     for i in range(start, n_steps):
-        params, opt_state, loss = step_fn(params, opt_state, batches(i))
+        batch = batches(i)
+        params, opt_state, loss = step_fn(params, opt_state, batch)
         device_losses.append(loss)
+        tokens_window += batch["input_ids"].size
         if verbose:
             print(f"[tdax.train] step {i + 1}/{n_steps} loss "
                   f"{float(loss):.4f}", flush=True)
+        if log_every and (i + 1) % log_every == 0:
+            # one sync per window (float of the latest loss), not per
+            # step — the observability hook must not serialize dispatch
+            dt = _time.time() - t_window
+            log_event("train_window", step=i + 1,
+                      loss=float(loss), wall_s=round(dt, 4),
+                      tokens_per_s=round(tokens_window / max(dt, 1e-9), 1))
+            t_window, tokens_window = _time.time(), 0
         if checkpoint_path and (i + 1) % checkpoint_every == 0:
             save_train_state(checkpoint_path, params, opt_state, i + 1)
     losses = [float(l) for l in device_losses]

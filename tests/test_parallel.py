@@ -479,3 +479,34 @@ def test_grad_accum_composes_with_fsdp():
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=2e-3, atol=3e-5)
+
+
+def test_train_loop_logs_windows(tmp_path):
+    """TDAX_LOG observability: train_loop emits one train_window event
+    per log_every steps with loss/wall/throughput fields."""
+    import json
+
+    from tdax.parallel import default_optimizer, train_loop
+    from tdax.utils.log import configure
+
+    rng = np.random.default_rng(17)
+    fixed = [rng.integers(1, 64, (2, 12)).astype(np.int32) for _ in range(4)]
+
+    def batches(i):
+        return {"input_ids": jnp.asarray(fixed[i]),
+                "attn_mask": jnp.ones((2, 12), jnp.int32)}
+
+    log = tmp_path / "run.jsonl"
+    configure(str(log))
+    try:
+        p0 = init_params(jax.random.PRNGKey(5), CFG, with_visual=False)
+        train_loop(p0, CFG, batches, n_steps=4,
+                   optimizer=default_optimizer(1e-3), log_every=2)
+    finally:
+        configure(None)
+
+    events = [json.loads(l) for l in log.read_text().splitlines()]
+    windows = [e for e in events if e["event"] == "train_window"]
+    assert [w["step"] for w in windows] == [2, 4]
+    for w in windows:
+        assert np.isfinite(w["loss"]) and w["tokens_per_s"] > 0
