@@ -90,9 +90,15 @@ def shard_params(params: dict, mesh: Mesh, rules: dict | None = None) -> dict:
                         is_leaf=lambda x: isinstance(x, P))
 
 
-def fsdp_sharding_rules(params: dict, dp: int, base_rules: dict | None = None,
+def fsdp_sharding_rules(params: dict, dp: int | Mesh,
+                        base_rules: dict | None = None,
                         min_size: int = 2 ** 14) -> dict:
     """ZeRO-3-style parameter sharding rules (FSDP).
+
+    ``dp`` may be the dp-axis size or the Mesh itself — passing the Mesh
+    reads the real ``dp`` axis size, so the divisibility checks below
+    can never disagree with the mesh the rules are later bound to (a
+    mismatched integer would only surface later at device_put time).
 
     Extends the Megatron tp rules: each large leaf is ADDITIONALLY
     sharded over the ``dp`` axis on its largest tp-free dimension
@@ -120,6 +126,8 @@ def fsdp_sharding_rules(params: dict, dp: int, base_rules: dict | None = None,
     ``params`` may be real arrays or ``jax.eval_shape`` abstractions —
     only shapes are read.
     """
+    if isinstance(dp, Mesh):
+        dp = int(dp.shape["dp"])
     base = base_rules or param_sharding_rules("visual" in params)
 
     def extend(path, leaf, spec):

@@ -145,6 +145,15 @@ def make_train_step(cfg: QwenVLConfig, optimizer: optax.GradientTransformation,
                 return ce_sum / jnp.maximum(n, 1.0)
             loss, grads = jax.value_and_grad(loss_fn)(params)
         else:
+            # the scan would silently run over WHATEVER leading axis the
+            # leaves carry — a batch reshaped with the wrong microbatch
+            # count must fail here, not train on a different schedule
+            for path, leaf in jax.tree_util.tree_leaves_with_path(batch):
+                if leaf.shape[0] != accum_steps:
+                    raise ValueError(
+                        f"batch leaf {jax.tree_util.keystr(path)} has leading "
+                        f"dim {leaf.shape[0]}, expected accum_steps="
+                        f"{accum_steps}")
             def body(carry, microbatch):
                 acc_g, acc_ce, acc_n = carry
                 (ce_sum, n), g = jax.value_and_grad(
@@ -160,6 +169,11 @@ def make_train_step(cfg: QwenVLConfig, optimizer: optax.GradientTransformation,
                 body, (zeros, jnp.float32(0), jnp.float32(0)), batch)
             n = jnp.maximum(n, 1.0)
             loss = ce_sum / n
+            # the final cast to param dtype is intentional: it matches
+            # the non-accum path's grad dtype (one compiled optimizer
+            # program serves both) and costs ONE rounding of the result
+            # — the f32 accumulator's purpose was avoiding rounding
+            # error compounding across the microbatch sum, which is done
             grads = jax.tree.map(lambda g, p: (g / n).astype(p.dtype),
                                  g_sum, params)
 
@@ -254,9 +268,15 @@ def train_loop(params: dict, cfg: QwenVLConfig, batches, n_steps: int,
             # one sync per window (float of the latest loss), not per
             # step — the observability hook must not serialize dispatch
             dt = _time.time() - t_window
+            # dispatched_tokens_per_s counts every element of input_ids
+            # (pad/masked included) — it is a DISPATCH-throughput gauge,
+            # not useful-token throughput; the first window also absorbs
+            # jit compile time.  Real-token throughput would cost a
+            # device sync per window for the loss denominator.
             log_event("train_window", step=i + 1,
                       loss=float(loss), wall_s=round(dt, 4),
-                      tokens_per_s=round(tokens_window / max(dt, 1e-9), 1))
+                      dispatched_tokens_per_s=round(
+                          tokens_window / max(dt, 1e-9), 1))
             t_window, tokens_window = _time.time(), 0
         if checkpoint_path and (i + 1) % checkpoint_every == 0:
             save_train_state(checkpoint_path, params, opt_state, i + 1)

@@ -439,6 +439,31 @@ def test_grad_accum_matches_full_batch():
                                    rtol=2e-3, atol=3e-5)
 
 
+def test_grad_accum_rejects_wrong_microbatch_axis():
+    """A batch reshaped with the wrong microbatch count must fail loudly
+    — the scan would otherwise silently train on a different schedule."""
+    import pytest
+
+    params = init_params(jax.random.PRNGKey(5), CFG, with_visual=False)
+    opt = default_optimizer(1e-3)
+    ids = jnp.ones((2, 4, 16), jnp.int32)  # leading dim 2, accum_steps 4
+    batch = {"input_ids": ids, "attn_mask": jnp.ones_like(ids)}
+    with pytest.raises(ValueError, match="accum_steps"):
+        make_train_step(CFG, opt, accum_steps=4)(
+            params, opt.init(params), batch)
+
+
+def test_fsdp_rules_accept_mesh():
+    """fsdp_sharding_rules(params, mesh) reads the real dp axis size, so
+    the rules can never disagree with the mesh they are bound to."""
+    from tdax.parallel import fsdp_sharding_rules
+
+    mesh = make_mesh(dp=2, tp=4)
+    params = init_params(jax.random.PRNGKey(0), CFG, with_visual=False)
+    assert fsdp_sharding_rules(params, mesh) == \
+        fsdp_sharding_rules(params, dp=2)
+
+
 def test_grad_accum_composes_with_fsdp():
     """accum + FSDP + remat together (the production memory recipe):
     same result as the plain full-batch replicated step."""
@@ -509,4 +534,4 @@ def test_train_loop_logs_windows(tmp_path):
     windows = [e for e in events if e["event"] == "train_window"]
     assert [w["step"] for w in windows] == [2, 4]
     for w in windows:
-        assert np.isfinite(w["loss"]) and w["tokens_per_s"] > 0
+        assert np.isfinite(w["loss"]) and w["dispatched_tokens_per_s"] > 0
