@@ -18,40 +18,58 @@ Mechanics (per device, inside ``jax.shard_map``):
         lse = m + log(e^{lse_a-m} + e^{lse_b-m})
         o   = (o_a e^{lse_a-m} + o_b e^{lse_b-m}) / (e^{lse_a-m} + e^{lse_b-m})
     which is exactly the online-softmax combine the kernel itself uses
-    across k-blocks, lifted to ring steps;
-  * causality is decided per step at chunk granularity: a visiting
-    chunk strictly after the local chunk contributes nothing (skipped),
-    the diagonal chunk runs the causal kernel (local row/col indices
-    coincide with global ones there), earlier chunks run dense.
+    across k-blocks, lifted to ring steps.
+
+Causal load balance — the ZIGZAG layout: with plain contiguous chunks
+under causality, device 0's chunk attends 1 chunk while device cp-1's
+attends cp, so the ring's wall-clock is the worst device.  The causal
+ring therefore re-lays the sequence out as 2cp half-chunks with device
+i holding halves (i, 2cp-1-i) — one early half plus its mirror-image
+late half.  Under that pairing every ring step costs the SAME two
+dense half-blocks on every device (the self step costs three, once per
+device — see ``_zigzag_step_blocks``, pinned by a test to per-device
+totals equal across the ring):
+  * visiting pair from device j == i: plain causal attention of the
+    locally concatenated halves (their global order is increasing, so
+    the kernel's local lower-triangle IS the global causal mask);
+  * j < i: both local q halves attend ONLY the visiting early half
+    (the visiting late half 2cp-1-j is in every local row's future);
+  * j > i: only the local late half attends, and it attends BOTH
+    visiting halves (they are both in its past).
+The re-layout is four ppermute pairs on entry (q/k/v/bias halves) and
+one on exit (the output back to contiguous order) — neighbor-grade
+point-to-point traffic of 5 chunk-sizes total, amortized over the
+ring's cp x chunk-size rotation.  Rotary/position semantics are
+untouched: rotary is applied to q/k BEFORE the op, and the op restores
+the contiguous layout before returning, so it stays a drop-in ``mha``.
+Dense (non-causal) rings are balanced already and keep contiguous
+chunks, as does a causal ring whose local chunk length is odd
+(T % 2cp != 0) or TDAX_NO_ZIGZAG=1 (the A/B switch).
 
 Each chunk's attention is the fused Pallas kernel when available
 (``flash_mode()``), via the differentiable (o, lse) variant
 ``_build_flash_lse`` — its backward folds the lse cotangent into the
 existing tiled kernels — and an einsum-with-lse path otherwise (CPU
 tests / TDAX_NO_FLASH=1).  The whole ring is reverse-mode
-differentiable: scan + ppermute + custom_vjp all have transpose rules,
-so the training path gets context parallelism with no bespoke backward
-pass.
-
-Load-balance note: with plain contiguous chunks under causality, ring
-step s is idle on devices whose visiting chunk is in their future —
-device 0 computes 1 chunk, device cp-1 computes cp.  A zigzag chunk
-assignment fixes this but complicates rotary/capture indexing; at the
-chunk sizes this repo trains (T/cp >= 512) the imbalance is bounded by
-the dense steps' cost and is accepted for v1.
+differentiable: scan + ppermute + switch + custom_vjp all have
+transpose rules, so the training path gets context parallelism with no
+bespoke backward pass.
 
 Convention notes: the kernel emits lse = 0 (not -inf) for rows with no
 visible key (exp(s - 0) underflows in its backward — see
 flash_attention._kernel).  A merge would mis-weight such rows, so the
 per-chunk wrapper rewrites them to NEG_INF from the bias itself:
-row r of the causal diagonal chunk sees a valid key iff any of
-bias[:r+1] is finite (a cumulative any); a dense chunk's rows all see
-the same keys (a plain any).
+row r of a causal chunk sees a valid key iff any of bias[:r+1] is
+finite (a cumulative any); a dense chunk's rows all see the same keys
+(a plain any).
 """
 
 from __future__ import annotations
 
 import functools
+import os
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -117,9 +135,129 @@ def _merge(o_acc, lse_acc, o_s, lse_s):
     return o_new, lse_new
 
 
+# --- zigzag layout ------------------------------------------------------------
+
+def _zigzag_tables(cp: int):
+    """Static routing tables for the zigzag half-chunk layout.
+
+    Contiguous device i holds halves (2i, 2i+1); zigzag device j holds
+    (j, 2cp-1-j).  Half h's zigzag home is min(h, 2cp-1-h), and the two
+    halves of any device have opposite parity (they sum to the odd
+    2cp-1), so the relayout decomposes into exactly two device
+    permutations: ``p_lo`` routes every contiguous EARLY half (2i) and
+    ``p_hi`` every LATE half (2i+1).  ``a_is_lo[j]`` says whether the
+    half arriving at j via p_lo is j's zigzag-early slot (value j) or
+    its late slot (value 2cp-1-j)."""
+    d_lo = [2 * i if 2 * i < cp else 2 * cp - 1 - 2 * i for i in range(cp)]
+    d_hi = [2 * i + 1 if 2 * i + 1 < cp else 2 * cp - 2 - 2 * i
+            for i in range(cp)]
+    assert sorted(d_lo) == list(range(cp)) and sorted(d_hi) == list(range(cp))
+    p_lo = [(i, d_lo[i]) for i in range(cp)]
+    p_hi = [(i, d_hi[i]) for i in range(cp)]
+    inv_lo = [(d_lo[i], i) for i in range(cp)]
+    inv_hi = [(d_hi[i], i) for i in range(cp)]
+    a_is_lo = np.zeros(cp, dtype=bool)
+    for i in range(cp):
+        a_is_lo[d_lo[i]] = (2 * i == d_lo[i])
+    return p_lo, p_hi, inv_lo, inv_hi, a_is_lo
+
+
+def _zigzag_step_blocks(cp: int, device: int, src: int) -> int:
+    """Dense half-block count device ``device`` computes when the
+    visiting pair originates at ``src`` (the schedule's cost model; a
+    causal half-block counts 1 like the kernel's block-skip grid does).
+    Mirrored by the balance test."""
+    if src == device:
+        return 3        # lo-lo causal + hi-lo dense + hi-hi causal
+    return 2            # past: 2 q-halves x 1 k-half; future: 1 x 2
+
+
+def _to_zigzag(x, axis: int, axis_name: str, my, tables):
+    p_lo, p_hi, _, _, a_is_lo = tables
+    hl = x.shape[axis] // 2
+    lo = lax.slice_in_dim(x, 0, hl, axis=axis)
+    hi = lax.slice_in_dim(x, hl, 2 * hl, axis=axis)
+    a = lax.ppermute(lo, axis_name, p_lo)
+    b = lax.ppermute(hi, axis_name, p_hi)
+    isl = jnp.asarray(a_is_lo)[my]
+    return jnp.concatenate([jnp.where(isl, a, b), jnp.where(isl, b, a)],
+                           axis=axis)
+
+
+def _from_zigzag(x, axis: int, axis_name: str, my, tables):
+    _, _, inv_lo, inv_hi, _ = tables
+    hl = x.shape[axis] // 2
+    lo = lax.slice_in_dim(x, 0, hl, axis=axis)          # half value: my
+    hi = lax.slice_in_dim(x, hl, 2 * hl, axis=axis)     # half: 2cp-1-my
+    j_even = (my % 2) == 0
+    even = jnp.where(j_even, lo, hi)                    # the even-index half
+    odd = jnp.where(j_even, hi, lo)
+    recv_lo = lax.ppermute(even, axis_name, inv_lo)     # arrives as half 2i
+    recv_hi = lax.ppermute(odd, axis_name, inv_hi)      # arrives as half 2i+1
+    return jnp.concatenate([recv_lo, recv_hi], axis=axis)
+
+
+def _ring_local_zigzag(q, k, v, bias, *, cp: int, axis: str):
+    """Causal ring body in the zigzag layout (see module docstring)."""
+    b, tl, nh, hd = q.shape
+    hl = tl // 2
+    my = lax.axis_index(axis)
+    tables = _zigzag_tables(cp)
+    qz = _to_zigzag(q, 1, axis, my, tables)
+    kz = _to_zigzag(k, 1, axis, my, tables)
+    vz = _to_zigzag(v, 1, axis, my, tables)
+    bz = _to_zigzag(bias, 1, axis, my, tables)
+    perm = [(i, (i + 1) % cp) for i in range(cp)]
+
+    def step(carry, _):
+        kc, vc, bc, o_acc, lse_acc, src = carry
+
+        def self_branch(_):
+            # local concat order (i, 2cp-1-i) is globally increasing, so
+            # the kernel's LOCAL lower-triangle equals the global mask
+            return _chunk_attn(qz, kc, vc, bc, True)
+
+        def past_branch(_):
+            # visiting pair (j, 2cp-1-j), j < my: both local halves are
+            # strictly after half j and strictly before half 2cp-1-j
+            return _chunk_attn(qz, kc[:, :hl], vc[:, :hl], bc[:, :hl],
+                               False)
+
+        def future_branch(_):
+            # j > my: only the local LATE half (2cp-1-my) attends, and
+            # both visiting halves are in its past
+            o_hi, lse_hi = _chunk_attn(qz[:, hl:], kc, vc, bc, False)
+            o = jnp.concatenate(
+                [jnp.zeros((b, hl, nh, hd), o_hi.dtype), o_hi], axis=1)
+            lse = jnp.concatenate(
+                [jnp.full((b, nh, hl), NEG_INF, jnp.float32), lse_hi],
+                axis=2)
+            return o, lse
+
+        case = jnp.where(src == my, 0, jnp.where(src < my, 1, 2))
+        o_s, lse_s = lax.switch(
+            case, [self_branch, past_branch, future_branch], None)
+        o_acc, lse_acc = _merge(o_acc, lse_acc, o_s, lse_s)
+        kc = lax.ppermute(kc, axis, perm)
+        vc = lax.ppermute(vc, axis, perm)
+        bc = lax.ppermute(bc, axis, perm)
+        # device i receives from i-1, which held the pair from (i-1) - s
+        src = (src - 1) % cp
+        return (kc, vc, bc, o_acc, lse_acc, src), None
+
+    o0 = jnp.zeros((b, tl, nh, hd), jnp.float32)
+    lse0 = jnp.full((b, nh, tl), NEG_INF, jnp.float32)
+    (_, _, _, o, _, _), _ = lax.scan(
+        step, (kz, vz, bz, o0, lse0, my), None, length=cp)
+    return _from_zigzag(o.astype(q.dtype), 1, axis, my, tables)
+
+
 def _ring_local(q, k, v, bias, *, causal: bool, cp: int, axis: str):
     """Per-device ring body (runs inside shard_map; all shapes local)."""
     b, tl, nh, hd = q.shape
+    if (causal and cp > 1 and tl % 2 == 0
+            and os.environ.get("TDAX_NO_ZIGZAG") != "1"):
+        return _ring_local_zigzag(q, k, v, bias, cp=cp, axis=axis)
     my = lax.axis_index(axis)
     perm = [(i, (i + 1) % cp) for i in range(cp)]
 

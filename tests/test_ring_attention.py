@@ -144,6 +144,72 @@ def test_ring_head_sharded_too():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_zigzag_schedule_balanced():
+    """The zigzag layout's causal work is balanced: every device's
+    dense half-block total over the ring is identical (2cp+1 — two
+    blocks per off-step, three on its one self step), vs the contiguous
+    layout's 4(i+1) half-blocks for device i.  Mirrors the branch math
+    in _ring_local_zigzag via the shared cost model."""
+    from tdax.ops.ring_attention import _zigzag_step_blocks, _zigzag_tables
+
+    for cp in (2, 3, 4, 8):
+        _zigzag_tables(cp)  # permutation sanity asserts inside
+        totals = [sum(_zigzag_step_blocks(cp, d, s) for s in range(cp))
+                  for d in range(cp)]
+        assert max(totals) - min(totals) == 0, (cp, totals)
+        assert totals[0] == 2 * cp + 1
+
+
+def test_zigzag_layout_roundtrip():
+    """to_zigzag then from_zigzag is the identity on every device, and
+    the zigzag layout holds halves (j, 2cp-1-j) on device j."""
+    from functools import partial
+
+    from tdax.ops.ring_attention import (_from_zigzag, _to_zigzag,
+                                         _zigzag_tables)
+
+    cp = 4
+    mesh = Mesh(np.array(jax.devices()[:cp]), ("cp",))
+    t, hl = 8 * cp, 4
+    x = jnp.arange(t, dtype=jnp.float32)[None, :, None, None]
+    x = jnp.broadcast_to(x, (2, t, 1, 1))
+    tables = _zigzag_tables(cp)
+
+    def zig(x):
+        my = jax.lax.axis_index("cp")
+        return _to_zigzag(x, 1, "cp", my, tables)
+
+    def unzig(x):
+        my = jax.lax.axis_index("cp")
+        return _from_zigzag(x, 1, "cp", my, tables)
+
+    from jax.sharding import PartitionSpec as P
+    sm = partial(jax.shard_map, mesh=mesh, in_specs=P(None, "cp"),
+                 out_specs=P(None, "cp"), check_vma=False)
+    z = sm(zig)(x)
+    # device j's shard must be halves (j, 2cp-1-j) of the global order
+    zl = np.asarray(z)[0, :, 0, 0].reshape(cp, 2 * hl)
+    for j in range(cp):
+        want = np.r_[np.arange(j * hl, (j + 1) * hl),
+                     np.arange((2 * cp - 1 - j) * hl, (2 * cp - j) * hl)]
+        np.testing.assert_array_equal(zl[j], want.astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(sm(unzig)(z)), np.asarray(x))
+
+
+def test_ring_causal_odd_chunk_falls_back_contiguous():
+    """Causal T divisible by cp but NOT by 2cp: the zigzag layout can't
+    split halves, so the contiguous schedule runs — still correct."""
+    rng = np.random.default_rng(6)
+    q, k, v = _qkv(rng, b=4, t=36)  # 36/4 = 9 per chunk (odd)
+    kv = jnp.ones((4, 36), jnp.int32).at[2, -5:].set(0)
+    spec = AttnSpec(kv_valid=kv, causal=True)
+    ref = mha(q, k, v, spec)
+    with flash_sharding(_mesh(), batch_axis="dp", head_axis=None,
+                        seq_axis="cp"):
+        out = jax.jit(lambda q, k, v: mha(q, k, v, spec))(q, k, v)
+    assert _masked_err(ref, out, kv, True) < 1e-5
+
+
 def test_ring_refuses_cross_attention():
     """Tq != Tk (the resampler's cross-attention) cannot ride the ring
     (chunks would misalign); it must warn once and stay numerically
