@@ -8,17 +8,20 @@ samples, Megatron-style tensor-parallel over heads/FFN), and XLA
 collectives inserted by GSPMD — no NCCL/MPI analogue is needed.
 """
 
-from tdax.parallel.mesh import (fsdp_sharding_rules, make_mesh,
+from tdax.parallel.mesh import (fsdp_sharding_rules, hybrid_batch_sharding,
+                                make_hybrid_mesh, make_mesh,
                                 named_shardings, param_sharding_rules,
                                 shard_params)
 from tdax.parallel.pipeline import (make_pp_mesh, make_train_step_pp,
-                                    pipeline_forward, shard_params_pp)
+                                    pipeline_1f1b_grads, pipeline_forward,
+                                    shard_params_pp)
 from tdax.parallel.train import (default_optimizer, lm_loss, make_train_step,
                                  train_loop, warmup_cosine_lr)
 
-__all__ = ["make_mesh", "param_sharding_rules", "shard_params",
+__all__ = ["make_mesh", "make_hybrid_mesh", "hybrid_batch_sharding",
+           "param_sharding_rules", "shard_params",
            "fsdp_sharding_rules", "named_shardings",
            "lm_loss", "make_train_step", "train_loop",
            "default_optimizer", "warmup_cosine_lr",
            "make_pp_mesh", "pipeline_forward", "shard_params_pp",
-           "make_train_step_pp"]
+           "make_train_step_pp", "pipeline_1f1b_grads"]

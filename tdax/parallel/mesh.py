@@ -36,6 +36,53 @@ def make_mesh(dp: int | None = None, tp: int = 1, cp: int = 1,
     return Mesh(grid, ("dp", "tp"))
 
 
+def make_hybrid_mesh(dcn: int, dp: int | None = None, tp: int = 1,
+                     devices: list | None = None) -> Mesh:
+    """Hybrid ICI x DCN mesh for multi-slice topologies (SURVEY §5
+    distributed row: "a DCN axis for multi-slice").
+
+    ``dcn`` slices form the OUTERMOST mesh axis — only collectives over
+    the "dcn" axis cross the data-center network; the "dp"/"tp" axes
+    stay inside a slice and ride ICI.  Intended layout: batch sharded
+    over the combined ("dcn", "dp") axes (``hybrid_batch_sharding``),
+    params replicated across slices — or FSDP-sharded over the
+    WITHIN-slice "dp" axis only (``fsdp_sharding_rules`` with this
+    mesh), so ZeRO-3 weight all-gathers never cross DCN — leaving ONE
+    cross-slice gradient all-reduce per step as the only DCN traffic,
+    inserted by GSPMD.  The reference's only multi-device mechanism is
+    single-host device_map="auto" (extract_activations.py:26).
+
+    On real multi-slice TPU (devices carry ``slice_index``) the grid is
+    built with ``mesh_utils.create_hybrid_device_mesh`` so every
+    (dp, tp) sub-grid is slice-local; on single-slice or virtual (CPU)
+    device sets, contiguous blocks of the device list stand in for
+    slices (the dryrun's 2x4 partition of the 8-device CPU mesh).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dcn < 1 or n % dcn:
+        raise ValueError(f"{n} devices do not divide into dcn={dcn} slices")
+    per_slice = n // dcn
+    if dp is None:
+        dp = per_slice // tp
+    if dp * tp != per_slice:
+        raise ValueError(f"dp*tp = {dp}*{tp} != {per_slice} devices/slice "
+                         f"({n} devices / dcn={dcn})")
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    if None not in slice_ids and len(slice_ids) == dcn:
+        from jax.experimental import mesh_utils
+        grid = mesh_utils.create_hybrid_device_mesh(
+            (1, dp, tp), (dcn, 1, 1), devices=devices)
+    else:
+        grid = np.asarray(devices).reshape(dcn, dp, tp)
+    return Mesh(grid, ("dcn", "dp", "tp"))
+
+
+def hybrid_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch over every data-parallel degree: slices x within-slice dp."""
+    return NamedSharding(mesh, P(("dcn", "dp")))
+
+
 def param_sharding_rules(with_visual: bool = True) -> dict:
     """PartitionSpec pytree matching tdax.models.qwen_vl param layout."""
     layers = {

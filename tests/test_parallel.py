@@ -237,6 +237,81 @@ def test_pipeline_train_step_matches_plain():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_1f1b_schedule_properties():
+    """The 1F1B schedule caps in-flight activations at min(S - s, M)
+    per stage (the memory claim: saved inputs scale with S, not M),
+    finishes in 2(M + S - 1) slots when M >= S, and keeps the unsent
+    h/g buffers small — all checked statically by the simulator's own
+    asserts plus the bounds pinned here."""
+    from tdax.parallel.pipeline import _schedule_1f1b
+
+    for S, M in [(2, 2), (4, 2), (4, 4), (4, 8), (4, 16), (8, 4), (3, 5)]:
+        sched = _schedule_1f1b(S, M)
+        if M >= S:
+            assert sched["n_slots"] == 2 * (M + S - 1), (S, M, sched["n_slots"])
+        # the saved-input ring never grows with M past S
+        assert sched["b_in"] == min(S, M)
+        assert sched["oh"] <= S and sched["og"] <= S, (S, M)
+        # every stage runs exactly M forwards and M backwards
+        assert (sched["fw_do"].sum(axis=0) == M).all()
+        assert (sched["bw_do"].sum(axis=0) == M).all()
+
+
+def test_pipeline_1f1b_deep_microbatching_matches_plain():
+    """1F1B with M=4 > warmup depth (steady-state interleaving actually
+    exercised) on pp=4 x dp=2: loss and params match the single-device
+    step, and the gpipe A/B schedule lands on the same numbers."""
+    from tdax.parallel import make_train_step_pp
+
+    mesh, params, sharded, ids, mask, bs = _pp_setup(pp=4, dp=2, n_micro=4,
+                                                     key=21)
+    opt = default_optimizer(1e-3)
+    batch = {"input_ids": ids, "attn_mask": mask}
+    p1, _, l1 = make_train_step(CFG, opt)(params, opt.init(params), batch)
+
+    batch_s = {"input_ids": jax.device_put(ids, bs),
+               "attn_mask": jax.device_put(mask, bs)}
+    p2, _, l2 = make_train_step_pp(CFG, opt, mesh, n_micro=4, remat=True)(
+        sharded, opt.init(sharded), batch_s)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+
+    # gradient parity (the real claim — params after ONE adamw step are
+    # noise-hostile: update ~ lr*g/|g| turns float-noise-scale grads
+    # into O(lr) param diffs): 1F1B grads vs jax.grad of the plain loss
+    from tdax.parallel.pipeline import pipeline_1f1b_grads
+    from tdax.parallel.train import lm_loss
+
+    # both param copies were DONATED by the train steps above — rebuild
+    params = init_params(jax.random.PRNGKey(21), CFG, with_visual=False)
+    g_ref = jax.grad(
+        lambda p: lm_loss(p, CFG, ids, mask))(params)
+    n = float(np.sum(np.asarray(mask)[:, 1:] > 0))
+    from tdax.parallel import shard_params_pp
+    sharded = shard_params_pp(
+        init_params(jax.random.PRNGKey(21), CFG, with_visual=False), mesh)
+    head = {"ln_f": sharded["ln_f"], "lm_head": sharded["lm_head"]}
+    from tdax.models.qwen_vl.model import embed_inputs
+    x = embed_inputs(params, CFG, ids, None, None)
+    ce, d_layers, d_head, dx = pipeline_1f1b_grads(
+        sharded["layers"], head, jax.device_put(x, bs),
+        batch_s["input_ids"], batch_s["attn_mask"], CFG, mesh, n_micro=4,
+        remat=True)
+    np.testing.assert_allclose(
+        np.asarray(d_layers["attn_qkv_w"]) / n,
+        np.asarray(g_ref["layers"]["attn_qkv_w"]), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(d_head["lm_head"]) / n,
+        np.asarray(g_ref["lm_head"]), rtol=1e-4, atol=1e-6)
+
+    from tdax.parallel import shard_params_pp
+    sharded_g = shard_params_pp(
+        init_params(jax.random.PRNGKey(21), CFG, with_visual=False), mesh)
+    p3, _, l3 = make_train_step_pp(CFG, opt, mesh, n_micro=4,
+                                   schedule="gpipe")(
+        sharded_g, opt.init(sharded_g), batch_s)
+    np.testing.assert_allclose(float(l3), float(l1), rtol=1e-6)
+
+
 def test_pipeline_rejects_indivisible():
     from tdax.parallel import make_pp_mesh, pipeline_forward, shard_params_pp
 
@@ -437,6 +512,59 @@ def test_grad_accum_matches_full_batch():
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=2e-3, atol=3e-5)
+
+
+def test_hybrid_mesh_train_step_matches_plain():
+    """DCN/multi-slice: 2 "slices" x (dp=2, tp=2) on the 8-device CPU
+    mesh.  Batch over ("dcn", "dp"), FSDP over the WITHIN-slice dp axis
+    only (weight gathers never cross DCN; the only cross-slice traffic
+    is the gradient all-reduce GSPMD inserts).  Loss and state must
+    match the plain single-device step; params must live 1/dp per
+    device but REPLICATED across slices."""
+    from tdax.parallel import (fsdp_sharding_rules, hybrid_batch_sharding,
+                               make_hybrid_mesh, named_shardings)
+
+    mesh = make_hybrid_mesh(dcn=2, dp=2, tp=2)
+    assert mesh.axis_names == ("dcn", "dp", "tp")
+    rng = np.random.default_rng(41)
+    b, t = 8, 24
+    ids = jnp.asarray(rng.integers(1, CFG.vocab_size, (b, t)).astype(np.int32))
+    mask = jnp.ones((b, t), jnp.int32).at[: b // 2, t - 6:].set(0)
+    opt = default_optimizer(1e-3)
+
+    p1 = init_params(jax.random.PRNGKey(23), CFG, with_visual=False)
+    p1, _, l1 = make_train_step(CFG, opt)(
+        p1, opt.init(p1), {"input_ids": ids, "attn_mask": mask})
+
+    p2 = init_params(jax.random.PRNGKey(23), CFG, with_visual=False)
+    rules = fsdp_sharding_rules(p2, mesh,
+                                base_rules=param_sharding_rules(False))
+    shardings = named_shardings(mesh, rules)
+    p2 = shard_params(p2, mesh, rules)
+    o2 = jax.jit(default_optimizer(1e-3).init)(p2)
+    bs = hybrid_batch_sharding(mesh)
+    batch = {"input_ids": jax.device_put(ids, bs),
+             "attn_mask": jax.device_put(mask, bs)}
+    p2, o2, l2 = make_train_step(CFG, opt, remat=True,
+                                 param_shardings=shardings)(p2, o2, batch)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    for a, c in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=2e-3, atol=3e-5)
+    # sharded 1/dp within a slice, replicated across the dcn axis:
+    # per-device shard = size / dp (NOT size / n_devices)
+    w = p2["layers"]["attn_qkv_w"]
+    assert w.addressable_shards[0].data.size == w.size // 4  # dp2 x tp2
+
+
+def test_hybrid_mesh_refuses_indivisible():
+    from tdax.parallel import make_hybrid_mesh
+
+    with pytest.raises(ValueError, match="slices"):
+        make_hybrid_mesh(dcn=3)  # 8 % 3 != 0
+    with pytest.raises(ValueError, match="devices/slice"):
+        make_hybrid_mesh(dcn=2, dp=4, tp=2)  # 4*2 != 4 per slice
 
 
 def test_grad_accum_rejects_wrong_microbatch_axis():
