@@ -79,6 +79,34 @@ def main() -> None:
         print(json.dumps({"metric": f"rips_scale_{n}pts_maxdim{maxdim}_sparse_hbm",
                           "value": round(warm_dev, 2), "unit": "s",
                           "vs_baseline": None}))
+
+        # cross-engine parity gate in BASELINE.json's own metric: the
+        # dense engine re-runs the same threshold and every dimension's
+        # diagrams must agree to <= 1e-5 BOTTLENECK distance (the sparse
+        # bottleneck path makes this feasible at 10k+-bar diagrams —
+        # exact bar equality was the previous, brittler stand-in).
+        # TDAX_SCALE_NO_PARITY=1 skips (timing-only runs).
+        import os
+        if os.environ.get("TDAX_SCALE_NO_PARITY") != "1":
+            from tdax.metrics.persistence import bottleneck_distance
+            from tdax.ops.rips import rips_from_distances
+            from tdax.pipeline.scale import distance_matrix_tpu
+            t0 = time.time()
+            dist = distance_matrix_tpu(x)
+            dense = rips_from_distances(np.asarray(dist, dtype=np.float64),
+                                        maxdim=maxdim,
+                                        thresh=out["thresh"])["dgms"]
+            bns = [bottleneck_distance(g, w)
+                   for g, w in zip(out["dgms"], dense)]
+            ok = all(v <= 1e-5 for v in bns)
+            print(json.dumps({
+                "stage": "cross_engine_bottleneck_gate",
+                "bottleneck_per_dim": [round(v, 9) for v in bns],
+                "bar": 1e-5, "ok": ok,
+                "value": round(time.time() - t0, 2), "unit": "s"}))
+            if not ok:
+                raise SystemExit(
+                    f"cross-engine bottleneck gate FAILED: {bns}")
         return
 
     from tdax.pipeline.scale import distance_matrix_tpu

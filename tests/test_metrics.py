@@ -101,6 +101,65 @@ def test_bottleneck_infinite_bars():
     assert bottleneck_distance(d1, d3) == np.inf
 
 
+def _random_diagram(rng, n, spread=1.0):
+    b = rng.uniform(0, 1, (n, 1))
+    return np.concatenate([b, b + rng.exponential(spread, (n, 1))], axis=1)
+
+
+def test_bottleneck_sparse_matches_exact():
+    """The grid-hashed feasibility path (bottleneck_distance_sparse)
+    returns the SAME exactly-realized cost as the dense augmented-matrix
+    path, across diagram shapes: perturbed twins, unequal counts,
+    diagonal-dominant noise, disjoint clouds, and infinite bars."""
+    from tdax.metrics.persistence import bottleneck_distance_sparse
+
+    rng = np.random.default_rng(7)
+    cases = []
+    d = _random_diagram(rng, 60)
+    cases.append((d, d + rng.uniform(-0.01, 0.01, d.shape)))   # twins
+    cases.append((d, _random_diagram(rng, 45)))                # unequal n
+    noisy = np.concatenate([d, _random_diagram(rng, 200, 0.005)])
+    cases.append((noisy, d))                                   # diag noise
+    cases.append((_random_diagram(rng, 30) + 5.0,
+                  _random_diagram(rng, 30)))                   # disjoint
+    cases.append((np.zeros((0, 2)), _random_diagram(rng, 12)))  # empty side
+    inf_a = np.concatenate([d[:20], [[0.1, np.inf], [0.6, np.inf]]])
+    inf_b = np.concatenate([d[:20] * 1.001, [[0.12, np.inf], [0.58, np.inf]]])
+    cases.append((inf_a, inf_b))                               # paired infs
+    for a, b in cases:
+        want = bottleneck_distance(a, b)
+        got = bottleneck_distance_sparse(a, b)
+        assert got == pytest.approx(want, rel=1e-9, abs=1e-12), (want, got)
+        assert bottleneck_distance_sparse(b, a) == pytest.approx(
+            got, rel=1e-9, abs=1e-12)
+
+
+def test_bottleneck_sparse_mismatched_infs():
+    from tdax.metrics.persistence import bottleneck_distance_sparse
+
+    assert bottleneck_distance_sparse(
+        np.array([[0.0, np.inf]]), np.array([[0.0, 1.0]])) == np.inf
+
+
+def test_bottleneck_large_dispatch_and_scale():
+    """10k-bar diagrams (the scale path's regime, README.md:127-128):
+    the automatic dispatch to the sparse path returns the perturbation
+    bound's answer in seconds, where the dense path would build a
+    ~4e8-entry matrix."""
+    import time
+
+    rng = np.random.default_rng(11)
+    d = _random_diagram(rng, 10_000, 0.2)
+    shift = np.full_like(d, 1e-4)
+    t0 = time.time()
+    got = bottleneck_distance(d, d + shift)  # Linf shift of exactly 1e-4
+    dt = time.time() - t0
+    # the shift bounds it above; cheaper cross-matchings can realize a
+    # smaller exact value in dense regions (births spaced ~1e-4 apart)
+    assert 0 < got <= 1e-4 * (1 + 1e-9), got
+    assert dt < 60, f"sparse bottleneck too slow: {dt:.1f}s"
+
+
 # --- geometry metric ports vs torch originals ------------------------------------
 
 def test_effective_dimensionality_vs_reference(ref_metrics):
