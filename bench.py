@@ -119,17 +119,23 @@ def main() -> None:
     # come straight out of model capture and never visit the host, so
     # the sweep is timed without the 18 MB host->device upload (which
     # crosses a ~30 MB/s relay in this session and dominates otherwise)
-    # headline rows are the MEDIAN of 3 timed runs: single shots on the
-    # relayed chip see dispatch-latency spikes of 2-3x (each run varies
-    # an input element — the relay dedupes identical dispatches)
-    def median3(cs):
+    # headline rows report min/median/max of 5 timed runs: single shots
+    # on the relayed chip see dispatch-latency spikes of 2-3x, and
+    # without the spread, round-over-round drift under ~20% is
+    # indistinguishable from that noise (each run varies an input
+    # element — the relay dedupes identical dispatches)
+    def timed5(cs, n_runs=5):
         ts = []
-        for _ in range(3):
+        for _ in range(n_runs):
             cs = bump(cs)
             t0 = time.time()
             out = run_sweep(cs, shape_labels, color_labels)
             ts.append(time.time() - t0)
-        return sorted(ts)[1], out
+        ts.sort()
+        spread = {"min_s": round(ts[0], 3),
+                  "median_s": round(ts[len(ts) // 2], 3),
+                  "max_s": round(ts[-1], 3), "n_runs": n_runs}
+        return ts[len(ts) // 2], spread, out
 
     import jax.numpy as jnp
     clouds_dev = jnp.asarray(clouds, dtype=jnp.float32)
@@ -145,14 +151,14 @@ def main() -> None:
         return cs
 
     run_sweep(clouds_dev, shape_labels, color_labels)  # warm-up / compile
-    hbm_elapsed, _ = median3(clouds_dev)
+    hbm_elapsed, hbm_spread, _ = timed5(clouds_dev)
     print(json.dumps({
         "metric": "umap_ph_sweep_32layers_36x4096_hbm",
-        "value": round(hbm_elapsed, 3), "unit": "s",
+        "value": round(hbm_elapsed, 3), "unit": "s", **hbm_spread,
         "vs_baseline": round(BASELINE_SECONDS / hbm_elapsed, 2)}))
 
     run_sweep(clouds, shape_labels, color_labels)  # warm-up / compile
-    elapsed, (_, sil, dgms) = median3(clouds)
+    elapsed, spread, (_, sil, dgms) = timed5(clouds)
 
     assert int(np.argmax(sil["shape"])) == 25, "sanity: planted peak layer"
     assert all(len(d) == 2 for d in dgms)
@@ -160,7 +166,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "umap_ph_sweep_32layers_36x4096",
         "value": round(elapsed, 3),
-        "unit": "s",
+        "unit": "s", **spread,
         "vs_baseline": round(BASELINE_SECONDS / elapsed, 2),
     }))
 
