@@ -394,11 +394,15 @@ def _flash_impl(q, k, v, bias, causal: bool, interpret: bool,
 
 def _bwd_dq_kernel(bias_ref, lse_ref, delta_ref, q_ref, k_ref, v_ref,
                    do_ref, dq_ref, dq_acc, *, causal: bool, blk_q: int,
-                   blk_k: int, scale: float, precision):
+                   blk_k: int, scale: float, precision,
+                   qk_axes: tuple = (1, 2)):
     """dq for one (batch*head, q-block): stream k/v blocks (sequential
     grid dim), recompute the probability tile from the saved logsumexp,
-    accumulate ds @ k in VMEM."""
-    i, j = pl.program_id(1), pl.program_id(2)
+    accumulate ds @ k in VMEM.  qk_axes: grid dims carrying the
+    (q-block, k-block) indices — (1, 2) on the 3-D transpose-layout
+    grid, (2, 3) on the 4-D zero-transpose [b, nh, i, j] grid (same
+    head-band trick as the forward)."""
+    i, j = pl.program_id(qk_axes[0]), pl.program_id(qk_axes[1])
 
     @pl.when(j == 0)
     def _():
@@ -434,7 +438,7 @@ def _bwd_dq_kernel(bias_ref, lse_ref, delta_ref, q_ref, k_ref, v_ref,
     else:
         body()
 
-    @pl.when(j == pl.num_programs(2) - 1)
+    @pl.when(j == pl.num_programs(qk_axes[1]) - 1)
     def _():
         dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
 
@@ -442,11 +446,12 @@ def _bwd_dq_kernel(bias_ref, lse_ref, delta_ref, q_ref, k_ref, v_ref,
 def _bwd_dkv_kernel(bias_ref, lse_ref, delta_ref, q_ref, k_ref, v_ref,
                     do_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
                     causal: bool, blk_q: int, blk_k: int, scale: float,
-                    precision):
+                    precision, qk_axes: tuple = (1, 2)):
     """dk/dv for one (batch*head, k-block): stream q/do blocks
     (sequential grid dim), recompute the TRANSPOSED probability tile,
-    accumulate p^T @ do and ds^T @ q in VMEM."""
-    j, i = pl.program_id(1), pl.program_id(2)
+    accumulate p^T @ do and ds^T @ q in VMEM.  qk_axes as in
+    _bwd_dq_kernel ((k-block, q-block) here — k-major grid)."""
+    j, i = pl.program_id(qk_axes[0]), pl.program_id(qk_axes[1])
 
     @pl.when(i == 0)
     def _():
@@ -485,7 +490,7 @@ def _bwd_dkv_kernel(bias_ref, lse_ref, delta_ref, q_ref, k_ref, v_ref,
     else:
         body()
 
-    @pl.when(i == pl.num_programs(2) - 1)
+    @pl.when(i == pl.num_programs(qk_axes[1]) - 1)
     def _():
         dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
@@ -516,8 +521,94 @@ def _flash_bwd_impl(q, k, v, bias, lse, delta, do, causal: bool,
             blk_q //= 2
             while tq_pad % blk_q:
                 blk_q //= 2
+    # A/B tuning knobs (bench only — invalid overrides are ignored):
+    # TDAX_BWD_BLKQ / TDAX_BWD_BLKK pin the backward tile sizes
+    for env, cur, pad in (("TDAX_BWD_BLKQ", "q", tq_pad),
+                          ("TDAX_BWD_BLKK", "k", tk_pad)):
+        v = os.environ.get(env)
+        if v and pad % int(v) == 0:
+            if cur == "q":
+                blk_q = int(v)
+            else:
+                blk_k = int(v)
     precision = (jax.lax.Precision.HIGHEST
                  if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+
+    bias_p = jnp.pad(bias.astype(jnp.float32), ((0, 0), (0, tk_pad - tk)),
+                     constant_values=NEG_INF)[:, None, :]
+    kwargs = dict(causal=causal, blk_q=blk_q, blk_k=blk_k,
+                  scale=1.0 / np.sqrt(hd), precision=precision)
+
+    if hd % 128 == 0:
+        # zero-transpose layout (mirrors the forward's hd%128 path):
+        # keep [B, T, nh*hd] — the native qkv-projection layout — and
+        # slice head h's 128-lane band via the block index maps.  The
+        # transpose layout below pays 4 [B,nh,T,hd] transpose+pad
+        # copies in and 3 out per attention site; at the 1b bench
+        # config that overhead lands entirely in the BACKWARD (the
+        # forward already had this path), which is where the measured
+        # fwd-vs-bwd efficiency gap lives (PARITY.md A/B).
+        def prep4(x, t_pad):
+            x = x.reshape(b, x.shape[1], nh * hd)
+            return jnp.pad(x, ((0, 0), (0, t_pad - x.shape[1]), (0, 0)))
+
+        qt, kt, vt = prep4(q, tq_pad), prep4(k, tk_pad), prep4(v, tk_pad)
+        dot_ = prep4(do, tq_pad)
+        row_specs4 = [  # bias / lse / delta rows on the (b, h, i, j) grid
+            pl.BlockSpec((1, 1, blk_k), lambda g, h, i, j: (g, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, blk_q), lambda g, h, i, j: (g * nh + h, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, blk_q), lambda g, h, i, j: (g * nh + h, 0, i),
+                         memory_space=pltpu.VMEM),
+        ]
+        q_spec4 = pl.BlockSpec((1, blk_q, hd), lambda g, h, i, j: (g, i, h),
+                               memory_space=pltpu.VMEM)
+        k_spec4 = pl.BlockSpec((1, blk_k, hd), lambda g, h, i, j: (g, j, h),
+                               memory_space=pltpu.VMEM)
+        dq = pl.pallas_call(
+            functools.partial(_bwd_dq_kernel, qk_axes=(2, 3), **kwargs),
+            grid=(b, nh, tq_pad // blk_q, tk_pad // blk_k),
+            in_specs=row_specs4 + [q_spec4, k_spec4, k_spec4, q_spec4],
+            out_specs=q_spec4,
+            out_shape=jax.ShapeDtypeStruct((b, tq_pad, nh * hd), q.dtype),
+            scratch_shapes=[pltpu.VMEM((blk_q, hd), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel",
+                                     "arbitrary")),
+            interpret=interpret,
+        )(bias_p, lse, delta, qt, kt, vt, dot_)
+
+        row_specs4_t = [  # k-block-major grid (b, h, j, i)
+            pl.BlockSpec((1, 1, blk_k), lambda g, h, j, i: (g, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, blk_q), lambda g, h, j, i: (g * nh + h, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, blk_q), lambda g, h, j, i: (g * nh + h, 0, i),
+                         memory_space=pltpu.VMEM),
+        ]
+        q_spec4_t = pl.BlockSpec((1, blk_q, hd), lambda g, h, j, i: (g, i, h),
+                                 memory_space=pltpu.VMEM)
+        k_spec4_t = pl.BlockSpec((1, blk_k, hd), lambda g, h, j, i: (g, j, h),
+                                 memory_space=pltpu.VMEM)
+        dk, dv = pl.pallas_call(
+            functools.partial(_bwd_dkv_kernel, qk_axes=(2, 3), **kwargs),
+            grid=(b, nh, tk_pad // blk_k, tq_pad // blk_q),
+            in_specs=row_specs4_t + [q_spec4_t, k_spec4_t, k_spec4_t,
+                                     q_spec4_t],
+            out_specs=[k_spec4_t, k_spec4_t],
+            out_shape=[jax.ShapeDtypeStruct((b, tk_pad, nh * hd), q.dtype),
+                       jax.ShapeDtypeStruct((b, tk_pad, nh * hd), q.dtype)],
+            scratch_shapes=[pltpu.VMEM((blk_k, hd), jnp.float32),
+                            pltpu.VMEM((blk_k, hd), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel",
+                                     "arbitrary")),
+            interpret=interpret,
+        )(bias_p, lse, delta, qt, kt, vt, dot_)
+        return (dq[:, :tq, :].reshape(b, tq, nh, hd),
+                dk[:, :tk, :].reshape(b, tk, nh, hd),
+                dv[:, :tk, :].reshape(b, tk, nh, hd))
 
     def prep(x, t_pad):
         x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * nh, x.shape[1], hd)
@@ -526,11 +617,6 @@ def _flash_bwd_impl(q, k, v, bias, lse, delta, do, causal: bool,
 
     qt, kt, vt = prep(q, tq_pad), prep(k, tk_pad), prep(v, tk_pad)
     dot_ = prep(do, tq_pad)
-    bias_p = jnp.pad(bias.astype(jnp.float32), ((0, 0), (0, tk_pad - tk)),
-                     constant_values=NEG_INF)[:, None, :]
-
-    kwargs = dict(causal=causal, blk_q=blk_q, blk_k=blk_k,
-                  scale=1.0 / np.sqrt(hd), precision=precision)
     row_specs = [  # bias / lse / delta rows, q-block-major grid (g, i, j)
         pl.BlockSpec((1, 1, blk_k), lambda g, i, j: (g // nh, 0, j),
                      memory_space=pltpu.VMEM),
