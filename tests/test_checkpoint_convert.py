@@ -220,6 +220,63 @@ def test_duplicate_shard_keys_rejected(tmp_path):
         load_hf_state_dict(str(tmp_path))
 
 
+def test_gate_rehearsal_synthetic_full_layout_snapshot(tmp_path):
+    """Dress rehearsal of the weights-gated parity test on a SYNTHETIC
+    snapshot in the real file layout (sharded bf16 safetensors with the
+    decoder + visual + resampler key set, plus the tokenizer fixture's
+    trust_remote_code-style files): every step the gated test runs
+    except the HF AutoModel forward — load_qwen_checkpoint, tokenizer
+    adapter, dataset item -> batch_encode -> image preprocessing ->
+    multimodal extract — so the moment real weights appear, parity is
+    one command (VERDICT r4 #8).  The loaded-from-disk capture must
+    equal the capture from the same state converted in memory."""
+    import shutil
+
+    from tdax.config import DatasetConfig
+    from tdax.data import generate_dataset
+    from tdax.models.qwen_vl.preprocess import load_image_batch
+    from tdax.models.qwen_vl.tokenizer import batch_encode, get_tokenizer
+
+    cfg = QwenVLConfig.tiny(dtype="float32")
+    cfg = type(cfg)(**{**cfg.__dict__, "visual": VCFG, "dtype": "float32"})
+    state = random_hf_state(cfg)
+    state.update(random_hf_visual_state(VCFG))
+    snap = tmp_path / "snapshot"
+    snap.mkdir()
+    _write_sharded_safetensors(state, str(snap))
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "qwen_tok_fixture")
+    for f in os.listdir(fixture):
+        shutil.copy(os.path.join(fixture, f), snap / f)
+
+    params = jax.tree.map(jnp.asarray, load_qwen_checkpoint(str(snap), cfg))
+    tok = get_tokenizer(str(snap), cfg)
+    meta = generate_dataset(DatasetConfig(data_dir=str(tmp_path / "ds")))
+    enc = batch_encode(tok, meta[:2], cfg)
+    images = load_image_batch(enc["image_paths"], cfg.visual.image_size)
+    ours = np.asarray(extract_layer_activations(
+        params, cfg, jnp.asarray(enc["input_ids"]),
+        jnp.asarray(enc["attn_mask"]), jnp.asarray(enc["last_token_idx"]),
+        jnp.asarray(images.astype(np.float32)),
+        jnp.asarray(enc["image_positions"])))
+    assert ours.shape == (cfg.num_layers, 2, cfg.hidden_size)
+    assert np.isfinite(ours).all()
+
+    # loading from the sharded files must equal the in-memory conversion
+    # of the same (bf16-rounded) state
+    import torch
+    rounded = {k: torch.tensor(v).to(torch.bfloat16).float().numpy()
+               for k, v in state.items()}
+    params_mem = jax.tree.map(jnp.asarray,
+                              convert_hf_state_dict(rounded, cfg))
+    ref = np.asarray(extract_layer_activations(
+        params_mem, cfg, jnp.asarray(enc["input_ids"]),
+        jnp.asarray(enc["attn_mask"]), jnp.asarray(enc["last_token_idx"]),
+        jnp.asarray(images.astype(np.float32)),
+        jnp.asarray(enc["image_positions"])))
+    np.testing.assert_array_equal(ours, ref)
+
+
 # --- weights-gated integration: fires when the real snapshot exists ---------
 
 _REAL_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)),
