@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Adversarial-sweep benchmark: the 4-condition x 32-layer TDA stage
+(the reference's experiments/.../analyze_adversarial_tda.py — 128
+independent UMAP+PH jobs, SURVEY §3.4) on synthetic full-size
+activations.
+
+Activation VALUES don't affect the timing (same shapes/dtypes/label
+structure as a real 9.66B capture of the 720-sample adversarial set),
+so this isolates the analysis stage without the ~10-minute extraction.
+Runs the sweep twice and reports both: the first run carries compile
+(persistent-cache-warm on reruns), the second is steady state.
+
+Usage: python bench_adversarial.py [hidden] [n_layers] [out_dir]
+Prints one JSON line per stage plus a summary line.
+"""
+
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+
+def synthetic_adversarial_data(hidden: int, n_layers: int) -> dict:
+    from tdax.config import DatasetConfig
+    from tdax.data import generate_dataset
+    from tdax.data.adversarial import generate_adversarial_metadata
+
+    base_meta = "data/physics_experiment_6x6/metadata.json"
+    if os.path.exists(base_meta):
+        from tdax.data.io import load_metadata
+        base = load_metadata(base_meta)
+    else:
+        base = generate_dataset(DatasetConfig())
+    meta = generate_adversarial_metadata(base, save=False)
+    rng = np.random.default_rng(0)
+    data = {}
+    for m in meta:
+        acts = rng.normal(size=(n_layers, hidden)).astype(np.float32)
+        data[m["id"]] = {
+            "metadata": m,
+            "activations": {f"layer_{i}": acts[i] for i in range(n_layers)},
+        }
+    return data
+
+
+def main() -> None:
+    from tdax.utils import setup_runtime
+
+    setup_runtime(want_device=True)
+    hidden = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    n_layers = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    out_dir = sys.argv[3] if len(sys.argv) > 3 else "/tmp/tdax_adv_bench"
+
+    from tdax.config import SweepConfig
+    from tdax.pipeline.adversarial import run_adversarial_sweep
+
+    t0 = time.time()
+    data = synthetic_adversarial_data(hidden, n_layers)
+    print(json.dumps({"stage": "synthesize", "n_samples": len(data),
+                      "value": round(time.time() - t0, 2), "unit": "s"}))
+
+    cfg = SweepConfig(n_layers=n_layers)
+    times = []
+    for label in ("first", "steady"):
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
+        t0 = time.time()
+        summary = run_adversarial_sweep(data, out_dir, cfg, verbose=False)
+        dt = time.time() - t0
+        times.append(dt)
+        print(json.dumps({"stage": f"adversarial_tda_{label}",
+                          "conditions": sorted(summary["n_samples_per_condition"]),
+                          "value": round(dt, 2), "unit": "s"}))
+    print(json.dumps({
+        "metric": f"adversarial_tda_4cond_{n_layers}layers_{hidden}d",
+        "value": round(times[-1], 2), "unit": "s",
+        "first_run_s": round(times[0], 2), "vs_baseline": None}))
+
+
+if __name__ == "__main__":
+    main()

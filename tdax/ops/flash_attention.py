@@ -523,14 +523,12 @@ def _flash_bwd_impl(q, k, v, bias, lse, delta, do, causal: bool,
                 blk_q //= 2
     # A/B tuning knobs (bench only — invalid overrides are ignored):
     # TDAX_BWD_BLKQ / TDAX_BWD_BLKK pin the backward tile sizes
-    for env, cur, pad in (("TDAX_BWD_BLKQ", "q", tq_pad),
-                          ("TDAX_BWD_BLKK", "k", tk_pad)):
-        v = os.environ.get(env)
-        if v and pad % int(v) == 0:
-            if cur == "q":
-                blk_q = int(v)
-            else:
-                blk_k = int(v)
+    _q_ovr = os.environ.get("TDAX_BWD_BLKQ")
+    if _q_ovr and tq_pad % int(_q_ovr) == 0:
+        blk_q = int(_q_ovr)
+    _k_ovr = os.environ.get("TDAX_BWD_BLKK")
+    if _k_ovr and tk_pad % int(_k_ovr) == 0:
+        blk_k = int(_k_ovr)
     precision = (jax.lax.Precision.HIGHEST
                  if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
 

@@ -141,6 +141,34 @@ def test_fused_backward_matches_reference_grads(tq, tk, nh, hd, causal, nvalid):
 
 
 @interpret_only_on_cpu
+def test_bwd_block_knobs_preserve_grads(monkeypatch):
+    """TDAX_BWD_BLKQ/BLKK (the on-chip tile A/B knobs) must only change
+    tiling, never values — and the UNSET path must behave identically
+    (a loop variable once shadowed the v tensor there: the knob code
+    runs on every backward trace, set or not)."""
+    from tdax.ops.flash_attention import _build_flash, _flash_bwd_impl
+    rng = np.random.default_rng(13)
+    b, t, nh, hd = 2, 256, 2, 128
+    q, k, v = _rand_qkv(rng, b, t, t, nh, hd)
+    bias = jnp.zeros((b, t), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(b, t, nh, hd)).astype(np.float32))
+
+    def grads():
+        fused = _build_flash(True, True, False)
+        return jax.grad(lambda a, c, d: jnp.vdot(fused(a, c, d, bias), g),
+                        argnums=(0, 1, 2))(q, k, v)
+
+    base = grads()
+    monkeypatch.setenv("TDAX_BWD_BLKQ", "128")
+    monkeypatch.setenv("TDAX_BWD_BLKK", "256")
+    jax.clear_caches()  # the knob is read at trace time
+    knobbed = grads()
+    for a, c in zip(base, knobbed):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-5, atol=1e-6)
+
+
+@interpret_only_on_cpu
 def test_ref_bwd_escape_hatch_matches(monkeypatch):
     """TDAX_FLASH_REF_BWD=1 keeps the old reference-recompute backward;
     both backward builds must produce the same gradients."""
