@@ -95,6 +95,33 @@ def main() -> None:
                       "value": round(time.time() - t0, 2), "unit": "s",
                       "loss": round(float(loss), 4)}))
 
+    if "--decomp" in sys.argv:
+        # A/B decomposition of the step: forward-only loss, loss+grad
+        # (no optimizer), full step — locates which phase eats the MFU
+        # (the round-4 analysis that found the backward gap).
+        from tdax.parallel.train import lm_loss
+
+        loss_fn = jax.jit(lambda p, b_: lm_loss(
+            p, cfg, b_["input_ids"], b_["attn_mask"], remat=remat))
+        grad_fn = jax.jit(lambda p, b_: jax.value_and_grad(
+            lambda pp: lm_loss(pp, cfg, b_["input_ids"], b_["attn_mask"],
+                               remat=remat))(p))
+        for name, fn in (("fwd_only", loss_fn), ("loss_and_grad", grad_fn)):
+            out = fn(params, batch)
+            jax.block_until_ready(out)
+            ts = []
+            for i_ in range(3):
+                bb = {"input_ids": batch["input_ids"].at[0, 0].set(1 + i_),
+                      "attn_mask": batch["attn_mask"]}
+                t0 = time.time()
+                out = fn(params, bb)
+                jax.block_until_ready(out)
+                ts.append(time.time() - t0)
+            print(json.dumps({"stage": f"decomp_{name}",
+                              "value": round(sorted(ts)[1], 4),
+                              "all_s": [round(x, 4) for x in ts],
+                              "unit": "s"}))
+
     n_iters = 5
     losses = []
     t0 = time.time()
