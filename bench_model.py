@@ -11,9 +11,11 @@ Configs:
   full-w8a8  full config with int8 activations too (serving mode: the
              MXU runs its native int8 path — 788 TOPS/s peak on v5e)
 
-Peak FLOP/s reference (TPU v5e, per chip): 394e12 bf16, 788e12 int8 —
+Peak FLOP/s reference (TPU v5e, per chip): 197e12 bf16, 394e12 int8 —
 MFU here is computed against the bf16 peak (the int8 path still does
 its matmul math after dequant at bf16-equivalent rates on the MXU).
+Earlier rounds mistakenly used 394e12 as the bf16 peak; benches report
+mfu_vs_394_legacy alongside for cross-round continuity.
 
 Usage: python bench_model.py [toy|full-int8] [batch_size] [seq_len]
 Prints one JSON line per stage plus a summary line with tokens/s + MFU.
@@ -25,7 +27,14 @@ import time
 
 import numpy as np
 
-V5E_BF16_PEAK = 394e12
+# TPU v5e peak: 197 TFLOP/s bf16 (394 is the INT8 figure).  Rounds 1-4
+# reported "MFU" against 394e12 — i.e. HALF the true bf16 MFU; the
+# chip's measured matmul ceiling (~194 TFLOP/s, PARITY.md round-4 A/B)
+# confirms 197 is the right denominator.  Benches now report both:
+# mfu_vs_v5e_bf16 against the correct peak and mfu_vs_394_legacy for
+# continuity with earlier rounds' numbers.
+V5E_BF16_PEAK = 197e12
+V5E_LEGACY_PEAK = 394e12
 
 
 def count_params(tree) -> int:
@@ -131,7 +140,10 @@ def main() -> None:
                       "value": round(dt, 4), "unit": "s/iter",
                       "tokens_per_s": round(tok_s, 1),
                       "tflops": round(flops / dt / 1e12, 2),
-                      "mfu_vs_v5e_bf16": round(mfu, 4) if on_tpu else None}))
+                      "mfu_vs_v5e_bf16": round(mfu, 4) if on_tpu else None,
+                      "mfu_vs_394_legacy": (round(mfu * V5E_BF16_PEAK
+                                                  / V5E_LEGACY_PEAK, 4)
+                                            if on_tpu else None)}))
     print(json.dumps({"metric": f"model_forward_{mode}_b{b}_t{t}",
                       "value": round(tok_s, 1), "unit": "tokens/s",
                       "vs_baseline": None}))

@@ -27,7 +27,8 @@ import time
 
 import numpy as np
 
-from bench_model import V5E_BF16_PEAK, count_params, decoder_flops_per_token
+from bench_model import (V5E_BF16_PEAK, V5E_LEGACY_PEAK, count_params,
+                         decoder_flops_per_token)
 
 HBM_BYTES = 15.5e9  # usable single-chip v5e HBM (16 GB nominal)
 
@@ -103,9 +104,18 @@ def main() -> None:
 
         loss_fn = jax.jit(lambda p, b_: lm_loss(
             p, cfg, b_["input_ids"], b_["attn_mask"], remat=remat))
-        grad_fn = jax.jit(lambda p, b_: jax.value_and_grad(
-            lambda pp: lm_loss(pp, cfg, b_["input_ids"], b_["attn_mask"],
-                               remat=remat))(p))
+
+        def _grad_probe(p, b_):
+            loss, g = jax.value_and_grad(
+                lambda pp: lm_loss(pp, cfg, b_["input_ids"], b_["attn_mask"],
+                                   remat=remat))(p)
+            # reduce grads to one scalar INSIDE the jit: the full grads
+            # pytree frees on exit, so the probe never holds two copies
+            # (params + opt state + 2x grads OOMs one chip at 1b)
+            import optax as _optax
+            return loss, _optax.global_norm(g)
+
+        grad_fn = jax.jit(_grad_probe)
         for name, fn in (("fwd_only", loss_fn), ("loss_and_grad", grad_fn)):
             out = fn(params, batch)
             jax.block_until_ready(out)
@@ -113,6 +123,7 @@ def main() -> None:
             for i_ in range(3):
                 bb = {"input_ids": batch["input_ids"].at[0, 0].set(1 + i_),
                       "attn_mask": batch["attn_mask"]}
+                del out
                 t0 = time.time()
                 out = fn(params, bb)
                 jax.block_until_ready(out)
@@ -148,7 +159,9 @@ def main() -> None:
                       "loss_first_last": [round(losses[0], 4),
                                           round(losses[-1], 4)],
                       "mfu_vs_v5e_bf16": (round(flops / dt / V5E_BF16_PEAK, 4)
-                                          if on_tpu else None)}))
+                                          if on_tpu else None),
+                      "mfu_vs_394_legacy": (round(flops / dt / V5E_LEGACY_PEAK, 4)
+                                            if on_tpu else None)}))
     print(json.dumps({"metric": f"train_step_{mode}_b{b}_t{t}",
                       "value": round(tokens / dt, 1), "unit": "tokens/s",
                       "vs_baseline": None}))

@@ -97,9 +97,13 @@ def mlp(x: jnp.ndarray, layer: dict) -> jnp.ndarray:
 
 def block(x: jnp.ndarray, layer: dict, cfg: QwenVLConfig,
           cos: jnp.ndarray, sin: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    x = x + attention(rms_norm(x, layer["ln_1"], cfg.layer_norm_eps),
-                      layer, cfg, cos, sin, mask)
-    x = x + mlp(rms_norm(x, layer["ln_2"], cfg.layer_norm_eps), layer)
+    from jax.ad_checkpoint import checkpoint_name
+    h1 = checkpoint_name(rms_norm(x, layer["ln_1"], cfg.layer_norm_eps),
+                         "rms1_out")
+    x = x + attention(h1, layer, cfg, cos, sin, mask)
+    h2 = checkpoint_name(rms_norm(x, layer["ln_2"], cfg.layer_norm_eps),
+                         "rms2_out")
+    x = x + mlp(h2, layer)
     return x
 
 
@@ -112,10 +116,15 @@ def remat_policy():
     block just to regenerate the residuals its backward kernels read.
     Saving them costs O(B*T*H) per block (the same order as the saved
     dots), not O(T^2)."""
+    names = ["flash_out", "flash_lse"]
+    if __import__("os").environ.get("TDAX_REMAT_SAVE_NORMS") == "1":
+        # A/B knob: additionally save the rms_norm outputs (the qkv /
+        # mlp dot inputs), trading ~64 MB/layer of saved bf16 for the
+        # backward's f32 norm replays
+        names += ["rms1_out", "rms2_out"]
     return jax.checkpoint_policies.save_from_both_policies(
         jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-        jax.checkpoint_policies.save_only_these_names(
-            "flash_out", "flash_lse"))
+        jax.checkpoint_policies.save_only_these_names(*names))
 
 
 def causal_mask(attn_mask: jnp.ndarray) -> jnp.ndarray:

@@ -508,10 +508,13 @@ def _flash_bwd_impl(q, k, v, bias, lse, delta, do, causal: bool,
     hd_pad = _round_up(hd, 128)
     tq_pad = _round_up(tq, 128)
     tk_pad = _round_up(tk, 128)
-    # smaller tile cap than forward: the backward keeps ~4 f32 score-tile
-    # temporaries (s/p, dp, ds) live at once
-    blk_q = next(s for s in (256, 128) if tq_pad % s == 0)
-    blk_k = next(s for s in (512, 384, 256, 128) if tk_pad % s == 0)
+    # forward-sized tiles: the on-chip A/B at the 1b config (b8 x 1024,
+    # bf16) measured blk_q 256 -> 512 and blk_k 512 -> 1024 as
+    # 0.411 -> 0.397 s/step (28.6% -> 29.7% MFU) — the backward's ~4
+    # live f32 tile temporaries still fit VMEM at 512 x 1024
+    blk_q = next(s for s in (512, 384, 256, 128) if tq_pad % s == 0)
+    blk_k = next(s for s in (1024, 768, 512, 384, 256, 128)
+                 if tk_pad % s == 0)
     while blk_q * blk_k * 4 > 2 * 1024 * 1024:
         if blk_k >= blk_q and blk_k > 128:
             blk_k //= 2
@@ -537,15 +540,19 @@ def _flash_bwd_impl(q, k, v, bias, lse, delta, do, causal: bool,
     kwargs = dict(causal=causal, blk_q=blk_q, blk_k=blk_k,
                   scale=1.0 / np.sqrt(hd), precision=precision)
 
-    if hd % 128 == 0:
+    if hd % 128 == 0 and os.environ.get("TDAX_BWD_ZT") == "1":
         # zero-transpose layout (mirrors the forward's hd%128 path):
         # keep [B, T, nh*hd] — the native qkv-projection layout — and
-        # slice head h's 128-lane band via the block index maps.  The
-        # transpose layout below pays 4 [B,nh,T,hd] transpose+pad
-        # copies in and 3 out per attention site; at the 1b bench
-        # config that overhead lands entirely in the BACKWARD (the
-        # forward already had this path), which is where the measured
-        # fwd-vs-bwd efficiency gap lives (PARITY.md A/B).
+        # slice head h's 128-lane band via the block index maps,
+        # skipping the transpose layout's 4-in/3-out [B,nh,T,hd]
+        # copies.  OPT-IN (TDAX_BWD_ZT=1): the on-chip A/B at the 1b
+        # config measured it 0.433 vs 0.418 s/grad AGAINST the
+        # transpose layout — Mosaic schedules the 3-D [b*nh, i, j]
+        # grid's k-major streaming better than the 4-D head-banded
+        # loads here, the opposite of the forward's result — so the
+        # copies are the cheaper evil for the backward on this
+        # hardware.  Kept (tested, grads identical) for future
+        # shapes/generations where the trade may flip.
         def prep4(x, t_pad):
             x = x.reshape(b, x.shape[1], nh * hd)
             return jnp.pad(x, ((0, 0), (0, t_pad - x.shape[1]), (0, 0)))

@@ -159,6 +159,7 @@ def test_bwd_block_knobs_preserve_grads(monkeypatch):
                         argnums=(0, 1, 2))(q, k, v)
 
     base = grads()
+    monkeypatch.setenv("TDAX_BWD_ZT", "1")
     monkeypatch.setenv("TDAX_BWD_BLKQ", "128")
     monkeypatch.setenv("TDAX_BWD_BLKK", "256")
     jax.clear_caches()  # the knob is read at trace time
