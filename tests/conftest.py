@@ -42,7 +42,8 @@ def pytest_collection_modifyitems(config, items):
     tests that need the 8-device virtual mesh."""
     if len(jax.devices()) >= 8:
         return
-    needs_mesh = ("sharded", "mesh", "train_step", "multichip", "pipeline")
+    needs_mesh = ("sharded", "mesh", "train_step", "multichip", "pipeline",
+                  "fsdp", "ring_")
     skip = pytest.mark.skip(reason="needs >= 8 devices (virtual CPU mesh)")
     for item in items:
         if any(k in item.name for k in needs_mesh):
