@@ -79,6 +79,52 @@ def main() -> None:
         "value": round(times[-1], 2), "unit": "s",
         "first_run_s": round(times[0], 2), "vs_baseline": None}))
 
+    # HBM-resident analysis row (the product path: activation clouds
+    # come straight out of on-chip capture and never visit the host —
+    # the host-resident rows above pay ~12 s re-uploading 377 MB of
+    # clouds over this session's ~30 MB/s relay).  Times the compute
+    # path (overlapped embed+silhouettes + host PH), artifact-free,
+    # matching bench.py's hbm row convention.
+    import concurrent.futures as cf
+
+    import jax
+    import jax.numpy as jnp
+
+    from tdax.data.adversarial import CONDITIONS
+    from tdax.data.io import activations_to_layer_clouds
+    from tdax.pipeline.adversarial import _pin_protocol
+    from tdax.pipeline.tda_sweep import (embed_and_silhouettes,
+                                         persistence_per_layer)
+
+    acfg = _pin_protocol(cfg)
+    cond_dev = []
+    for c in CONDITIONS:
+        clouds, ids = activations_to_layer_clouds(
+            data, n_layers, point_cloud_type=None, condition=c)
+        labels = {k: [data[i]["metadata"][k] for i in ids]
+                  for k in ("img_color", "img_shape", "txt_color",
+                            "txt_shape")}
+        dev = jnp.asarray(clouds, dtype=jnp.float32)
+        dev.block_until_ready()
+        cond_dev.append((c, dev, labels))
+
+    def analyze(clouds, labels):
+        c3, sil = embed_and_silhouettes(clouds, acfg, labels)
+        return persistence_per_layer(c3, maxdim=acfg.rips.maxdim)
+
+    for c, dev, labels in cond_dev:   # warm / compile
+        analyze(dev, labels)
+    t0 = time.time()
+    with cf.ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [pool.submit(analyze, dev, labels)
+                for _, dev, labels in cond_dev]
+        for f in futs:
+            f.result()
+    hbm = time.time() - t0
+    print(json.dumps({
+        "metric": f"adversarial_tda_4cond_{n_layers}layers_{hidden}d_hbm",
+        "value": round(hbm, 2), "unit": "s", "vs_baseline": None}))
+
 
 if __name__ == "__main__":
     main()

@@ -45,13 +45,19 @@ def compute_tda_for_condition(condition: str, clouds: np.ndarray,
                               labels: dict[str, list[str]],
                               output_subdir: str, cfg: SweepConfig,
                               verbose: bool = True,
-                              _embedded=None) -> list[dict]:
+                              _embedded=None, _render_pool=None,
+                              _render_futures=None) -> list[dict]:
     """clouds [L, n, hidden]; labels: img_color/img_shape/txt_color/txt_shape.
 
     ``_embedded``: optional precomputed (clouds_3d, silhouettes) from
     ``embed_and_silhouettes`` under the pinned protocol config — the
     overlapped sweep (run_adversarial_sweep) dispatches all conditions'
-    embed programs concurrently and hands the results in here."""
+    embed programs concurrently and hands the results in here.
+    ``_render_pool``/``_render_futures``: when given, diagram PNGs are
+    SUBMITTED to the shared pool and their futures appended instead of
+    rendered synchronously — the sweep joins them once at the end, so
+    one condition's 32 matplotlib renders never gate the next
+    condition's stats (the measured ~1/3 of the sweep's host tail)."""
     if verbose:
         print(f"\n--- Analyzing {condition} ---")
     diag_dir = ensure_dir(os.path.join(output_subdir, "diagrams"))
@@ -92,8 +98,12 @@ def compute_tda_for_condition(condition: str, clouds: np.ndarray,
                              title=f"{condition} - Layer {i} | "
                                    f"H1={s['n_h1_features']} | "
                                    f"Max Pers={s['max_h1_persistence']:.3f}")
-        with cf.ThreadPoolExecutor(max_workers=4) as pool:
-            list(pool.map(render, range(cfg.n_layers)))
+        if _render_pool is not None:
+            _render_futures.extend(
+                _render_pool.submit(render, i) for i in range(cfg.n_layers))
+        else:
+            with cf.ThreadPoolExecutor(max_workers=4) as pool:
+                list(pool.map(render, range(cfg.n_layers)))
 
     dump_json(all_stats, os.path.join(output_subdir, "layer_stats.json"))
     return all_stats
@@ -187,25 +197,37 @@ def run_adversarial_sweep(all_data: dict[str, dict], output_dir: str,
     # per-condition host PH + artifact stage then runs as each result
     # lands, overlapping the remaining conditions' device compute.
     acfg = _pin_protocol(cfg)
-    if len(cond_inputs) > 1:
-        import concurrent.futures as cf
-        with cf.ThreadPoolExecutor(max_workers=len(cond_inputs)) as pool:
-            futures = [pool.submit(embed_and_silhouettes, clouds, acfg, labels)
-                       for _, clouds, labels in cond_inputs]
-            # consume per-condition: waiting only on THIS condition's
-            # future lets its host PH + PNG stage run while the later
-            # conditions' device programs are still executing
-            for (condition, clouds, labels), fut in zip(cond_inputs, futures):
+    import concurrent.futures as cf
+    render_futures: list = []
+    with cf.ThreadPoolExecutor(max_workers=8) as render_pool:
+        if len(cond_inputs) > 1:
+            with cf.ThreadPoolExecutor(max_workers=len(cond_inputs)) as pool:
+                futures = [pool.submit(embed_and_silhouettes, clouds, acfg,
+                                       labels)
+                           for _, clouds, labels in cond_inputs]
+                # consume per-condition: waiting only on THIS condition's
+                # future lets its host PH stage run while the later
+                # conditions' device programs are still executing; PNG
+                # renders go to the shared fire-and-forget pool
+                for (condition, clouds, labels), fut in zip(cond_inputs,
+                                                            futures):
+                    condition_stats[condition] = compute_tda_for_condition(
+                        condition, clouds, labels,
+                        os.path.join(output_dir, condition), acfg,
+                        verbose=verbose, _embedded=fut.result(),
+                        _render_pool=render_pool,
+                        _render_futures=render_futures)
+        else:
+            for condition, clouds, labels in cond_inputs:
                 condition_stats[condition] = compute_tda_for_condition(
                     condition, clouds, labels,
-                    os.path.join(output_dir, condition), acfg,
-                    verbose=verbose, _embedded=fut.result())
-    else:
-        for condition, clouds, labels in cond_inputs:
-            condition_stats[condition] = compute_tda_for_condition(
-                condition, clouds, labels, os.path.join(output_dir, condition),
-                acfg, verbose=verbose,
-                _embedded=embed_and_silhouettes(clouds, acfg, labels))
+                    os.path.join(output_dir, condition),
+                    acfg, verbose=verbose,
+                    _embedded=embed_and_silhouettes(clouds, acfg, labels),
+                    _render_pool=render_pool,
+                    _render_futures=render_futures)
+        for f in render_futures:
+            f.result()  # surface render exceptions; joins before return
 
     plot_comparison(condition_stats, cfg.n_layers,
                     os.path.join(output_dir, "comparison",
