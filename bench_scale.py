@@ -90,11 +90,19 @@ def main() -> None:
         if os.environ.get("TDAX_SCALE_NO_PARITY") != "1":
             from tdax.metrics.persistence import bottleneck_distance
             from tdax.ops.rips import rips_from_distances
-            from tdax.pipeline.scale import distance_matrix_tpu
             t0 = time.time()
-            dist = distance_matrix_tpu(x)
-            dense = rips_from_distances(np.asarray(dist, dtype=np.float64),
-                                        maxdim=maxdim,
+            # host f64 distances for the dense engine: the gate tests
+            # REDUCTION parity, so both engines must see distances of at
+            # least the sparse path's refined accuracy (~1e-6 relative);
+            # the device expansion-form matrix carries ~1e-4 relative,
+            # which showed up as a spurious 7e-4 "engine" deviation
+            x64 = x.astype(np.float64)
+            sq = np.einsum("ij,ij->i", x64, x64)
+            d2 = sq[:, None] + sq[None, :] - 2.0 * (x64 @ x64.T)
+            dist = np.sqrt(np.maximum(d2, 0.0))
+            dist = (dist + dist.T) * 0.5
+            np.fill_diagonal(dist, 0.0)
+            dense = rips_from_distances(dist, maxdim=maxdim,
                                         thresh=out["thresh"])["dgms"]
             bns = [bottleneck_distance(g, w)
                    for g, w in zip(out["dgms"], dense)]

@@ -149,14 +149,19 @@ def bottleneck_distance(dgm_a: np.ndarray, dgm_b: np.ndarray) -> float:
 
 def _pairs_within(pts_a: np.ndarray, pts_b: np.ndarray, eps: float):
     """(ai, bj) index arrays of every pair with Linf <= eps, fully
-    vectorized: birth-sorted searchsorted windows then a death filter.
-    Candidate volume self-limits across the bisection: at large eps the
-    caller's required set {pers > 2 eps} is small, at small eps the
-    birth windows are."""
-    order = np.argsort(pts_b[:, 0], kind="stable")
-    births = pts_b[order, 0]
-    lo = np.searchsorted(births, pts_a[:, 0] - eps, side="left")
-    hi = np.searchsorted(births, pts_a[:, 0] + eps, side="right")
+    vectorized: sorted searchsorted windows on ONE coordinate then an
+    exact filter.  The window coordinate is whichever axis spreads the
+    points more — H0 diagrams have ALL-ZERO births, where a
+    birth-window would degenerate to all-pairs (measured: a 17-minute
+    gate on 10k H0 bars); their deaths spread fine.  Candidate volume
+    self-limits across the bisection: at large eps the caller's
+    required set {pers > 2 eps} is small, at small eps the windows
+    are."""
+    ax = int(np.argmax(np.ptp(pts_b, axis=0))) if len(pts_b) else 0
+    order = np.argsort(pts_b[:, ax], kind="stable")
+    births = pts_b[order, ax]
+    lo = np.searchsorted(births, pts_a[:, ax] - eps, side="left")
+    hi = np.searchsorted(births, pts_a[:, ax] + eps, side="right")
     counts = hi - lo
     total = int(counts.sum())
     if total == 0:
