@@ -298,7 +298,30 @@ def bottleneck_distance_sparse(dgm_a: np.ndarray, dgm_b: np.ndarray,
     hi = float(max(pa.max(initial=0.0), pb.max(initial=0.0))) / 2.0  # all-diag
     if hi == 0.0 or _bn_feasible(a, b, pa, pb, 0.0):
         return max(0.0, inf_cost)
-    lo = 0.0
+
+    # sound lower bound: every point pays at least min(its diagonal
+    # cost, its nearest cross-diagram Linf neighbor), so bottleneck >=
+    # the max of that over both diagrams.  For near-twin diagrams (the
+    # cross-engine gate's regime) this IS the answer, so the bisection
+    # below starts at its doorstep instead of spending feasibility
+    # checks in the mid-eps zone where half the bars are "required"
+    # and candidate windows are huge (measured: a 30k H0-shaped case
+    # went from minutes of mid-range Hopcroft-Karp to seconds).
+    from scipy.spatial import cKDTree
+
+    lb = 0.0
+    if len(a) and len(b):
+        ta, tb = cKDTree(a), cKDTree(b)
+        lb = max(
+            float(np.max(np.minimum(tb.query(a, k=1, p=np.inf)[0],
+                                    pa / 2.0), initial=0.0)),
+            float(np.max(np.minimum(ta.query(b, k=1, p=np.inf)[0],
+                                    pb / 2.0), initial=0.0)))
+    else:  # one side empty: everything diagonal-matches
+        lb = hi
+    if lb > 0.0 and _bn_feasible(a, b, pa, pb, lb):
+        return max(lb, inf_cost)  # the bound is attained and realized
+    lo = lb
 
     def window_bound() -> int:
         """Cheap overcount of realized costs in (lo, hi]: pers/2 values

@@ -312,6 +312,47 @@ def test_pipeline_1f1b_deep_microbatching_matches_plain():
     np.testing.assert_allclose(float(l3), float(l1), rtol=1e-6)
 
 
+def test_pipeline_1f1b_bf16_params():
+    """1F1B with bfloat16 params: the cond branches cast their grad
+    pytrees to the f32 accumulator dtype (param-dtype grads from the
+    vjp would mismatch the no-op branch and fail lax.cond's shape
+    check) — pinned here since every other pipeline test runs f32."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tdax.parallel import (make_pp_mesh, make_train_step_pp,
+                               shard_params_pp)
+
+    cfg_bf16 = QwenVLConfig.tiny(dtype="bfloat16")
+    mesh = make_pp_mesh(pp=4, dp=2)
+    rng = np.random.default_rng(33)
+    b, t = 8, 16
+    ids = jnp.asarray(rng.integers(1, cfg_bf16.vocab_size, (b, t))
+                      .astype(np.int32))
+    mask = jnp.ones((b, t), jnp.int32)
+    params = init_params(jax.random.PRNGKey(3), cfg_bf16, with_visual=False)
+    p_ref, _, l_ref = make_train_step(cfg_bf16, default_optimizer(1e-3))(
+        params, default_optimizer(1e-3).init(params),
+        {"input_ids": ids, "attn_mask": mask})
+
+    sharded = shard_params_pp(
+        init_params(jax.random.PRNGKey(3), cfg_bf16, with_visual=False), mesh)
+    bs = NamedSharding(mesh, P("dp"))
+    opt = default_optimizer(1e-3)
+    p2, _, l2 = make_train_step_pp(cfg_bf16, opt, mesh, n_micro=2)(
+        sharded, opt.init(sharded),
+        {"input_ids": jax.device_put(ids, bs),
+         "attn_mask": jax.device_put(mask, bs)})
+    assert np.isfinite(float(l2))
+    # bf16 forward noise is larger than f32's; the losses must agree to
+    # bf16 resolution and params must stay close after one step
+    np.testing.assert_allclose(float(l2), float(l_ref), rtol=2e-2)
+    for a, c in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(c, np.float32),
+                                   rtol=0.1, atol=2e-2)
+
+
 def test_pipeline_rejects_indivisible():
     from tdax.parallel import make_pp_mesh, pipeline_forward, shard_params_pp
 
